@@ -1,0 +1,14 @@
+"""Test harness: run all tests on a virtual 8-device CPU mesh.
+
+The standard JAX trick for testing pjit/sharding logic without TPU pods
+(SURVEY.md §4c): force the host platform and fake 8 devices. Must run before
+jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,183 @@
+"""On-device class-aware NMS with fully static shapes.
+
+The reference borrows torchvision's C++ NMS (scripts/helpers/helpers.py:131) and
+keeps it OUTSIDE the exported graph; a numpy greedy copy lives in
+tools/infer_onnx.py:50-81. On TPU we instead keep NMS INSIDE the jitted graph:
+
+  1. top-k pre-selection of candidates by score (static k, MXU/VPU friendly),
+  2. class-aware suppression via the coordinate-offset trick (boxes of different
+     classes are translated apart so they can never overlap),
+  3. exact greedy suppression computed as a *fixpoint iteration* on the O(k^2)
+     IoU matrix: keep(i) = no kept j<i with IoU(j,i) > thr. Iterating that update
+     from keep=all converges to the greedy solution in at most `depth` steps
+     (depth = longest suppression chain, typically < 8), each step a single
+     masked mat-vec on the VPU — no sequential per-box loop.
+  4. top `max_det` padded outputs (invalid entries get score 0, class -1).
+
+Semantics parity: YOLO score = sigmoid(obj) * max(sigmoid(cls))
+(helpers.py:107-115), per-class NMS (helpers.py:126-136), max_det cap, plus the
+DIoU-NMS variant (helpers.py:35-55).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.ops.boxes import box_iou_matrix
+
+
+def _suppression_matrix(boxes: jnp.ndarray, use_diou: bool) -> jnp.ndarray:
+    """[k,4] -> [k,k] pairwise overlap metric (IoU or DIoU)."""
+    iou = box_iou_matrix(boxes, boxes)
+    if not use_diou:
+        return iou
+    # DIoU penalty (reference diou_nms helpers.py:46-53)
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    center_dist = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    w = jnp.maximum(boxes[:, None, 2], boxes[None, :, 2]) - jnp.minimum(boxes[:, None, 0], boxes[None, :, 0])
+    h = jnp.maximum(boxes[:, None, 3], boxes[None, :, 3]) - jnp.minimum(boxes[:, None, 1], boxes[None, :, 1])
+    c2 = w**2 + h**2 + 1e-7
+    return iou - center_dist / c2
+
+
+def _greedy_keep(overlap: jnp.ndarray, valid: jnp.ndarray, iou_th: float) -> jnp.ndarray:
+    """Exact greedy-NMS keep mask via fixpoint iteration.
+
+    `overlap` is [k,k] for score-descending boxes; `valid` marks real candidates.
+    keep(i) = valid(i) and no j < i with keep(j) and overlap(j,i) > thr.
+    """
+    k = overlap.shape[0]
+    # strict upper-triangular suppression candidates: j < i suppresses i
+    sup = (overlap > iou_th) & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        new_keep = valid & ~suppressed
+        return new_keep, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.zeros_like(keep0), 0))
+    return keep
+
+
+def nms_single(
+    boxes: jnp.ndarray,       # [N,4] xyxy
+    scores: jnp.ndarray,      # [N]
+    classes: jnp.ndarray,     # [N] int32
+    *,
+    iou_th: float = 0.65,
+    conf_th: float = 0.001,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    class_aware: bool = True,
+    use_diou: bool = False,
+    coord_bound: float = 8192.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-image NMS. Returns (boxes [max_det,4], scores [max_det],
+    classes [max_det] int32, valid [max_det] bool) padded fixed-shape outputs.
+    """
+    n = boxes.shape[0]
+    k = min(pre_nms_topk, n)
+    scores = jnp.where(scores > conf_th, scores, 0.0)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    boxes_k = jnp.take(boxes, idx, axis=0)
+    cls_k = jnp.take(classes, idx, axis=0)
+    valid = top_scores > 0.0
+
+    if class_aware:
+        shifted = boxes_k + (cls_k.astype(boxes_k.dtype) * coord_bound)[:, None]
+    else:
+        shifted = boxes_k
+
+    overlap = _suppression_matrix(shifted, use_diou)
+    keep = _greedy_keep(overlap, valid, iou_th)
+
+    out_scores = jnp.where(keep, top_scores, 0.0)
+    m = min(max_det, k)
+    final_scores, sel = jax.lax.top_k(out_scores, m)
+    final_boxes = jnp.take(boxes_k, sel, axis=0)
+    final_cls = jnp.take(cls_k, sel, axis=0)
+    final_valid = final_scores > 0.0
+    final_cls = jnp.where(final_valid, final_cls, -1)
+
+    if m < max_det:  # pad up to max_det
+        pad = max_det - m
+        final_boxes = jnp.pad(final_boxes, ((0, pad), (0, 0)))
+        final_scores = jnp.pad(final_scores, (0, pad))
+        final_cls = jnp.pad(final_cls, (0, pad), constant_values=-1)
+        final_valid = jnp.pad(final_valid, (0, pad))
+    return final_boxes, final_scores, final_cls, final_valid
+
+
+@partial(jax.jit, static_argnames=("iou_th", "conf_th", "max_det", "pre_nms_topk",
+                                   "class_aware", "use_diou"))
+def batched_nms(
+    boxes: jnp.ndarray,    # [B,N,4]
+    scores: jnp.ndarray,   # [B,N]
+    classes: jnp.ndarray,  # [B,N]
+    *,
+    iou_th: float = 0.65,
+    conf_th: float = 0.001,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    class_aware: bool = True,
+    use_diou: bool = False,
+):
+    """vmapped class-aware NMS over the batch (static shapes end to end)."""
+    fn = partial(nms_single, iou_th=iou_th, conf_th=conf_th, max_det=max_det,
+                 pre_nms_topk=pre_nms_topk, class_aware=class_aware, use_diou=use_diou)
+    return jax.vmap(fn)(boxes, scores, classes)
+
+
+def yolo_scores(obj_logits: jnp.ndarray, cls_logits: jnp.ndarray):
+    """YOLO score = sigmoid(obj) * max(sigmoid(cls)); returns (scores, class idx).
+
+    Parity: helpers.py:107-115 (C==1 path uses obj * cls prob as well, matching
+    the patched behavior in helpers.py:344-350).
+    """
+    obj = jax.nn.sigmoid(obj_logits)
+    if cls_logits.shape[-1] == 0:
+        return obj, jnp.zeros(obj.shape, dtype=jnp.int32)
+    cls_p = jax.nn.sigmoid(cls_logits)
+    confs = jnp.max(cls_p, axis=-1)
+    clsi = jnp.argmax(cls_p, axis=-1).astype(jnp.int32)
+    return obj * confs, clsi
+
+
+# --------------------------------------------------------------------------- #
+# Host-side reference NMS (numpy) — used by tests and the CPU deploy path.
+# Parity with the reference's pure-numpy greedy NMS (export/infer_onnx.py:32-53).
+# --------------------------------------------------------------------------- #
+
+def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_th: float) -> np.ndarray:
+    """Greedy NMS on host. Returns kept indices sorted by descending score."""
+    order = scores.argsort()[::-1]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        if order.size == 1:
+            break
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1)
+        h = np.maximum(0.0, yy2 - yy1)
+        inter = w * h
+        iou = inter / (areas[i] + areas[order[1:]] - inter + 1e-7)
+        order = order[1:][iou <= iou_th]
+    return np.asarray(keep, dtype=np.int64)
