@@ -1,0 +1,259 @@
+"""Host-side augmentation pipeline (numpy/cv2) with bbox tracking.
+
+Re-implements the reference's Albumentations pipelines (scripts/data/augment.py)
+without the Albumentations dependency:
+
+  get_base_transform (:54-101): HFlip/VFlip p=0.3, optional square Resize,
+    Affine(rot ±20°, shear ±10°, scale .85-1.15, translate 5-10%) p=0.2 with
+    border 114, color OneOf p=0.4 (brightness-contrast / color-jitter / HSV /
+    RGB-shift / channel-shuffle), noise-or-motion-blur OneOf p=0.15,
+    letterbox (LongestMaxSize + centered PadIfNeeded 114), bbox filtering with
+    min_visibility=0.25 / min_area=16.
+  get_val_transform (:153-171): letterbox only.
+
+TPU-first split: these run on the host input pipeline and emit uint8 RGB
+canvases; ImageNet normalization happens on-device inside the jitted graph so
+host->HBM transfers stay uint8 (4x less PCIe/DMA traffic).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+import cv2
+
+from yololite_tpu.ops.letterbox import letterbox_image
+
+PAD = (114, 114, 114)
+
+
+# --------------------------------------------------------------------------- #
+# Geometry helpers
+# --------------------------------------------------------------------------- #
+
+def _transform_boxes_affine(boxes: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Apply a 2x3 affine to xyxy boxes -> AABB of the 4 transformed corners."""
+    if len(boxes) == 0:
+        return boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    corners = np.stack([
+        np.stack([x1, y1], -1), np.stack([x2, y1], -1),
+        np.stack([x1, y2], -1), np.stack([x2, y2], -1),
+    ], axis=1)  # [N,4,2]
+    ones = np.ones((*corners.shape[:2], 1), np.float32)
+    pts = np.concatenate([corners, ones], -1) @ m.T  # [N,4,2]
+    out = np.concatenate([pts.min(1), pts.max(1)], -1).astype(np.float32)
+    return out
+
+
+def _filter_boxes(boxes, labels, w, h, orig_areas=None,
+                  min_visibility=0.25, min_area=16.0):
+    """Clip to the canvas and drop boxes by visibility/area (Albumentations
+    BboxParams semantics, augment.py:91-98)."""
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4), labels
+    clipped = boxes.copy()
+    clipped[:, [0, 2]] = clipped[:, [0, 2]].clip(0, w)
+    clipped[:, [1, 3]] = clipped[:, [1, 3]].clip(0, h)
+    areas = np.maximum(clipped[:, 2] - clipped[:, 0], 0) * \
+        np.maximum(clipped[:, 3] - clipped[:, 1], 0)
+    if orig_areas is None:
+        orig_areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+            np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    vis = areas / np.maximum(orig_areas, 1e-9)
+    keep = (areas >= min_area) & (vis >= min_visibility) & \
+           (clipped[:, 2] > clipped[:, 0]) & (clipped[:, 3] > clipped[:, 1])
+    return clipped[keep], labels[keep]
+
+
+# --------------------------------------------------------------------------- #
+# Individual transforms
+# --------------------------------------------------------------------------- #
+
+def hflip(img, boxes):
+    h, w = img.shape[:2]
+    img = img[:, ::-1].copy()
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    return img, boxes
+
+
+def vflip(img, boxes):
+    h, w = img.shape[:2]
+    img = img[::-1].copy()
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    return img, boxes
+
+
+def random_affine(img, boxes, rng: np.random.RandomState,
+                  rotate=(-20, 20), shear=(-10, 10), scale=(0.85, 1.15),
+                  translate=(0.05, 0.10)):
+    h, w = img.shape[:2]
+    ang = math.radians(rng.uniform(*rotate))
+    shx = math.radians(rng.uniform(*shear))
+    shy = math.radians(rng.uniform(*shear))
+    sc = rng.uniform(*scale)
+    t_mag = rng.uniform(*translate)
+    tx = rng.choice([-1, 1]) * t_mag * w
+    ty = rng.choice([-1, 1]) * t_mag * h
+
+    cx, cy = w / 2.0, h / 2.0
+    ca, sa = math.cos(ang) * sc, math.sin(ang) * sc
+    # rotation+scale about center, then shear, then translate
+    rot = np.array([[ca, -sa, cx - ca * cx + sa * cy],
+                    [sa, ca, cy - sa * cx - ca * cy]], np.float32)
+    sh = np.array([[1.0, math.tan(shx), 0.0],
+                   [math.tan(shy), 1.0, 0.0]], np.float32)
+
+    def compose(a, b):  # a∘b for 2x3 mats
+        a3 = np.vstack([a, [0, 0, 1]])
+        b3 = np.vstack([b, [0, 0, 1]])
+        return (a3 @ b3)[:2]
+
+    m = compose(rot, sh)
+    m[:, 2] += (tx, ty)
+    img = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=PAD)
+    boxes = _transform_boxes_affine(boxes, m)
+    return img, boxes
+
+
+def random_brightness_contrast(img, rng, brightness=0.2, contrast=0.2):
+    alpha = 1.0 + rng.uniform(-contrast, contrast)
+    beta = rng.uniform(-brightness, brightness) * 255.0
+    return cv2.convertScaleAbs(img, alpha=alpha, beta=beta)
+
+
+def color_jitter(img, rng, brightness=0.2, contrast=0.2, saturation=0.15, hue=0.05):
+    img = random_brightness_contrast(img, rng, brightness, contrast)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue, hue) * 180.0) % 180.0
+    hsv[..., 1] = np.clip(hsv[..., 1] * (1.0 + rng.uniform(-saturation, saturation)), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def hsv_shift(img, rng, hue_lim=5, sat_lim=15, val_lim=15):
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
+    hsv[..., 0] = (hsv[..., 0] + rng.randint(-hue_lim, hue_lim + 1)) % 180
+    hsv[..., 1] = np.clip(hsv[..., 1] + rng.randint(-sat_lim, sat_lim + 1), 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] + rng.randint(-val_lim, val_lim + 1), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def rgb_shift(img, rng, lim=20):
+    shift = rng.randint(-lim, lim + 1, size=3)
+    return np.clip(img.astype(np.int16) + shift[None, None, :], 0, 255).astype(np.uint8)
+
+
+def channel_shuffle(img, rng):
+    perm = rng.permutation(3)
+    return img[..., perm]
+
+
+def gauss_noise(img, rng, var=(5.0, 20.0)):
+    sigma = math.sqrt(rng.uniform(*var))
+    noise = rng.normal(0.0, sigma, img.shape)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+
+def motion_blur(img, rng, k=3):
+    kernel = np.zeros((k, k), np.float32)
+    if rng.rand() < 0.5:
+        kernel[k // 2, :] = 1.0 / k
+    else:
+        kernel[:, k // 2] = 1.0 / k
+    return cv2.filter2D(img, -1, kernel)
+
+
+# --------------------------------------------------------------------------- #
+# Composed pipelines
+# --------------------------------------------------------------------------- #
+
+class TrainTransform:
+    """Reference get_base_transform equivalent; emits uint8 letterboxed canvas."""
+
+    def __init__(self, img_size: int, use_resize: bool = False,
+                 p_flip: float = 0.3, p_affine: float = 0.2,
+                 p_color: float = 0.4, p_noise: float = 0.15,
+                 min_visibility: float = 0.25, min_area: float = 16.0):
+        self.img_size = img_size
+        self.use_resize = use_resize
+        self.p_flip = p_flip
+        self.p_affine = p_affine
+        self.p_color = p_color
+        self.p_noise = p_noise
+        self.min_visibility = min_visibility
+        self.min_area = min_area
+
+    def __call__(self, img, boxes, labels, rng: np.random.RandomState):
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        labels = np.asarray(labels, np.int64).reshape(-1)
+        orig_areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+            np.maximum(boxes[:, 3] - boxes[:, 1], 0) if len(boxes) else None
+
+        if rng.rand() < self.p_flip:
+            img, boxes = hflip(img, boxes)
+        if rng.rand() < self.p_flip:
+            img, boxes = vflip(img, boxes)
+        if self.use_resize:
+            h, w = img.shape[:2]
+            img = cv2.resize(img, (self.img_size, self.img_size), interpolation=cv2.INTER_LINEAR)
+            if len(boxes):
+                boxes = boxes * np.array([self.img_size / w, self.img_size / h] * 2, np.float32)
+        if rng.rand() < self.p_affine:
+            img, boxes = random_affine(img, boxes, rng)
+        if rng.rand() < self.p_color:
+            op = rng.randint(5)
+            img = [random_brightness_contrast, color_jitter, hsv_shift,
+                   rgb_shift, channel_shuffle][op](img, rng)
+        if rng.rand() < self.p_noise:
+            img = gauss_noise(img, rng) if rng.rand() < 0.5 else motion_blur(img, rng)
+
+        canvas, scale, px, py = letterbox_image(img, self.img_size)
+        if len(boxes):
+            boxes = boxes * scale
+            boxes[:, [0, 2]] += px
+            boxes[:, [1, 3]] += py
+            if orig_areas is not None:
+                orig_areas = orig_areas * (scale ** 2)
+        boxes, labels = _filter_boxes(boxes, labels, self.img_size, self.img_size,
+                                      orig_areas, self.min_visibility, self.min_area)
+        return canvas, boxes, labels
+
+
+class ValTransform:
+    """Reference get_val_transform equivalent: letterbox (or resize) only."""
+
+    def __init__(self, img_size: int, use_resize: bool = False):
+        self.img_size = img_size
+        self.use_resize = use_resize
+
+    def __call__(self, img, boxes, labels, rng=None):
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        labels = np.asarray(labels, np.int64).reshape(-1)
+        if self.use_resize:
+            h, w = img.shape[:2]
+            canvas = cv2.resize(img, (self.img_size, self.img_size),
+                                interpolation=cv2.INTER_LINEAR)
+            if len(boxes):
+                boxes = boxes * np.array([self.img_size / w, self.img_size / h] * 2,
+                                         np.float32)
+            scale, px, py = (self.img_size / w, 0, 0)
+        else:
+            canvas, scale, px, py = letterbox_image(img, self.img_size)
+            if len(boxes):
+                boxes = boxes * scale
+                boxes[:, [0, 2]] += px
+                boxes[:, [1, 3]] += py
+        if len(boxes):
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, self.img_size)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, self.img_size)
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            boxes, labels = boxes[keep], labels[keep]
+        return canvas, boxes, labels

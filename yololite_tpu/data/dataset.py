@@ -1,0 +1,236 @@
+"""YOLO-format dataset with RAM label cache, Mosaic and CutMix.
+
+Parity with the reference `YoloDataset` (scripts/data/dataset.py:10-272):
+  - scans the image dir for {jpg,jpeg,png,bmp,tif,tiff}, sorted (:17-32)
+  - caches ALL YOLO-txt labels into RAM as [N,5] float arrays at init (:42-81);
+    polygon (segmentation) rows are collapsed to bboxes (:62-67)
+  - xywhn -> xyxy pixel conversion at load (:94-112)
+  - Mosaic 2x2 at p=0.2 on a 2s x 2s canvas of square-resized tiles (:124-175)
+  - CutMix-smallest-object paste at p in [0.2, 0.4) with alpha=0.7 (:179-230)
+  - corrupt-image fallback returns an empty target instead of crashing (:268-272)
+
+TPU-first difference: `__getitem__` returns FIXED-SHAPE padded targets
+(image uint8 [S,S,3], boxes f32 [maxN,4], labels i32 [maxN], mask bool [maxN])
+so batches stack into static-shape device arrays — no ragged tensors on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import cv2
+
+from yololite_tpu.data.augment import TrainTransform, ValTransform
+
+VALID_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+def list_images(img_dir: str) -> List[str]:
+    files = []
+    if os.path.exists(img_dir):
+        with os.scandir(str(img_dir)) as entries:
+            for e in entries:
+                if e.is_file() and os.path.splitext(e.name)[1].lower() in VALID_EXTS:
+                    files.append(e.path)
+    files.sort()
+    return files
+
+
+def parse_yolo_label_file(path: str) -> np.ndarray:
+    """Parse one YOLO txt file -> [N,5] (cls, xc, yc, w, h) normalized.
+    Polygon rows (cls + 2k coords, k>2) collapse to their bbox."""
+    boxes = []
+    try:
+        with open(path, "r") as f:
+            lines = f.readlines()
+        for line in lines:
+            parts = line.strip().split()
+            if len(parts) >= 5:
+                cls = int(float(parts[0]))
+                coords = np.array([float(x) for x in parts[1:]], dtype=np.float32)
+                if len(coords) > 4:  # segmentation polygon
+                    pts = coords.reshape(-1, 2)
+                    xmin, ymin = pts.min(axis=0)
+                    xmax, ymax = pts.max(axis=0)
+                    xc, yc = (xmin + xmax) / 2, (ymin + ymax) / 2
+                    w, h = (xmax - xmin), (ymax - ymin)
+                else:
+                    xc, yc, w, h = coords[:4]
+                boxes.append([cls, xc, yc, w, h])
+    except Exception:
+        pass
+    if boxes:
+        return np.asarray(boxes, dtype=np.float32)
+    return np.zeros((0, 5), dtype=np.float32)
+
+
+class YoloDataset:
+    def __init__(self, img_dir: str, label_dir: str, img_size: int = 640,
+                 is_train: bool = True, max_boxes: int = 100,
+                 use_resize: bool = False, mosaic_p: float = 0.2,
+                 cutmix_p: float = 0.2, augment: bool = True, seed: int = 0):
+        self.img_dir = Path(img_dir)
+        self.label_dir = Path(label_dir)
+        self.img_files = list_images(str(img_dir))
+        if len(self.img_files) == 0:
+            raise ValueError(f"No images found in {img_dir}")
+        self.img_size = int(img_size)
+        self.is_train = bool(is_train)
+        self.max_boxes = int(max_boxes)
+        self.mosaic_p = float(mosaic_p) if (is_train and augment) else 0.0
+        self.cutmix_p = float(cutmix_p) if (is_train and augment) else 0.0
+        self.augment_enabled = bool(augment) and is_train
+        self.transform = (TrainTransform(img_size, use_resize)
+                          if self.augment_enabled else ValTransform(img_size, use_resize))
+        self.val_transform = ValTransform(img_size, use_resize)
+        self.seed = seed
+        self.labels_cache = self._cache_labels()
+
+    # -- reference-style augmentation tapering (tools/train.py:326-331) ------ #
+    def set_mosaic_cutmix(self, mosaic_p: float, cutmix_p: float):
+        self.mosaic_p = mosaic_p
+        self.cutmix_p = cutmix_p
+
+    def set_augment(self, enabled: bool):
+        self.augment_enabled = enabled and self.is_train
+        self.transform = (TrainTransform(self.img_size, self.val_transform.use_resize)
+                          if self.augment_enabled
+                          else ValTransform(self.img_size, self.val_transform.use_resize))
+        if not enabled:
+            self.mosaic_p = 0.0
+            self.cutmix_p = 0.0
+
+    def _cache_labels(self) -> List[np.ndarray]:
+        cache = []
+        for img_path in self.img_files:
+            label_path = self.label_dir / (Path(img_path).stem + ".txt")
+            cache.append(parse_yolo_label_file(str(label_path))
+                         if label_path.exists() else np.zeros((0, 5), np.float32))
+        return cache
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        img = cv2.imread(self.img_files[idx])
+        if img is None:
+            raise ValueError(f"Image not found or corrupt: {self.img_files[idx]}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def load_label_processed(self, idx: int, img_h: int, img_w: int):
+        data = self.labels_cache[idx]
+        if data.shape[0] == 0:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int64)
+        cls = data[:, 0].astype(np.int64)
+        xywh = data[:, 1:]
+        x1 = (xywh[:, 0] - xywh[:, 2] / 2) * img_w
+        y1 = (xywh[:, 1] - xywh[:, 3] / 2) * img_h
+        x2 = (xywh[:, 0] + xywh[:, 2] / 2) * img_w
+        y2 = (xywh[:, 1] + xywh[:, 3] / 2) * img_h
+        return np.stack([x1, y1, x2, y2], axis=1).astype(np.float32), cls
+
+    # ------------------------------ Mosaic ---------------------------------- #
+    def mosaic(self, index: int, rng: np.random.RandomState):
+        indices = [index] + list(rng.randint(0, len(self), size=3))
+        s = self.img_size
+        canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        offsets = [(0, 0), (0, s), (s, 0), (s, s)]
+        all_boxes, all_labels = [], []
+        for i, idx in enumerate(indices):
+            img = self.load_image(idx)
+            h, w = img.shape[:2]
+            boxes, labels = self.load_label_processed(idx, h, w)
+            img = cv2.resize(img, (s, s))
+            if len(boxes):
+                boxes = boxes * np.array([s / w, s / h, s / w, s / h], np.float32)
+            oy, ox = offsets[i]
+            canvas[oy:oy + s, ox:ox + s] = img
+            if len(boxes):
+                boxes[:, [0, 2]] += ox
+                boxes[:, [1, 3]] += oy
+                all_boxes.append(boxes)
+                all_labels.append(labels)
+        if all_boxes:
+            fb = np.vstack(all_boxes)
+            fl = np.concatenate(all_labels)
+            valid = (fb[:, 2] > fb[:, 0]) & (fb[:, 3] > fb[:, 1])
+            return canvas, fb[valid], fl[valid]
+        return canvas, np.zeros((0, 4), np.float32), np.zeros((0,), np.int64)
+
+    # ------------------------------ CutMix ---------------------------------- #
+    def cutmix_focus_small(self, img, boxes, labels, other_idx: int,
+                           rng: np.random.RandomState, alpha: float = 0.7):
+        img2 = self.load_image(other_idx)
+        h2, w2 = img2.shape[:2]
+        boxes2, labels2 = self.load_label_processed(other_idx, h2, w2)
+        if len(boxes2) == 0:
+            return img, boxes, labels
+        areas = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+        si = int(np.argmin(areas))
+        x1, y1, x2, y2 = boxes2[si].astype(int)
+        x1, y1 = max(x1, 0), max(y1, 0)
+        patch = img2[y1:y2, x1:x2]
+        if patch.size == 0:
+            return img, boxes, labels
+        ph, pw = patch.shape[:2]
+        h, w = img.shape[:2]
+        if ph >= h or pw >= w:
+            return img, boxes, labels
+        cx = rng.randint(0, max(1, w - pw))
+        cy = rng.randint(0, max(1, h - ph))
+        roi = img[cy:cy + ph, cx:cx + pw]
+        if roi.shape[:2] != patch.shape[:2]:
+            return img, boxes, labels
+        img = img.copy()
+        img[cy:cy + ph, cx:cx + pw] = (alpha * patch + (1 - alpha) * roi).astype(np.uint8)
+        new_box = np.array([[cx, cy, cx + pw, cy + ph]], np.float32)
+        new_lbl = np.array([labels2[si]], np.int64)
+        boxes = np.vstack([boxes, new_box]) if len(boxes) else new_box
+        labels = np.concatenate([labels, new_lbl]) if len(labels) else new_lbl
+        return img, boxes, labels
+
+    # ------------------------------------------------------------------------ #
+    def _pad_targets(self, boxes, labels):
+        m = self.max_boxes
+        out_b = np.zeros((m, 4), np.float32)
+        out_l = np.zeros((m,), np.int32)
+        out_m = np.zeros((m,), bool)
+        n = min(len(boxes), m)
+        if n:
+            out_b[:n] = boxes[:n]
+            out_l[:n] = labels[:n]
+            out_m[:n] = True
+        return out_b, out_l, out_m
+
+    def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
+        rng = rng or np.random.RandomState()
+        try:
+            img = self.load_image(idx)
+            h, w = img.shape[:2]
+            boxes, labels = self.load_label_processed(idx, h, w)
+            if self.is_train and self.augment_enabled:
+                p = rng.rand()
+                if p < self.mosaic_p:
+                    img, boxes, labels = self.mosaic(idx, rng)
+                elif p < self.mosaic_p + self.cutmix_p:
+                    img, boxes, labels = self.cutmix_focus_small(
+                        img, boxes, labels, rng.randint(0, len(self)), rng)
+                h, w = img.shape[:2]
+                if len(boxes):
+                    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+                    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            canvas, boxes, labels = self.transform(img, boxes, labels, rng)
+        except Exception as e:  # corrupt image fallback (dataset.py:268-272)
+            print(f"[ERROR] {self.img_files[idx]}: {e}")
+            canvas = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+            boxes, labels = np.zeros((0, 4), np.float32), np.zeros((0,), np.int64)
+        b, l, m = self._pad_targets(boxes, labels)
+        return {"image": canvas, "boxes": b, "labels": l, "mask": m,
+                "image_id": np.int64(idx)}
+
+    def __getitem__(self, idx):
+        return self.get(idx)

@@ -1,0 +1,207 @@
+"""YOLOLiteMS detector: backbone -> top-down FPN -> decoupled anchor-free heads.
+
+Topology parity with the reference (scripts/model/model_v2.py):
+  - `YOLOLiteMS`      (:77-247): FPN smooth blocks = n x (Conv3x3-BN-SiLU)
+  - `YOLOLiteMS_CPU`  (:250-399): FPN smooth blocks = DW-separable + ReLU
+    (here one module with `cpu_variant=True`, since the only difference is the
+    smooth-block flavor and the P6 activation)
+  - 1x1 laterals + nearest-upsample-add (:179-180, :201-203)
+  - optional P2 (stride 4) and P6 (strided conv from P5) levels (:89, :130-133)
+  - decoupled heads: DW-conv trunk x head_depth, 1x1 box/obj/cls (:42-53)
+  - bias init: obj -log((1-p)/p) p=.01, cls -log(C), box 0 (:7-14)
+  - width/depth multiples: fpn_ch = int(fpn_ch * width), d = max(1, round(2*depth))
+  - per-level output [B, A, S, S, 5+C], A=1 (anchor-free)
+  - self-describing `get_strides()` / `get_num_anchors_per_level()` (:227-231)
+
+TPU-first differences: NHWC layout, bf16 compute / f32 params via `dtype`,
+nearest-x2 upsample as repeats (fusible), static shapes everywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yololite_tpu.models.backbones import build_backbone, backbone_feature_info
+from yololite_tpu.models.layers import (
+    ConvBNAct, ConvBlock, DWConvBlock, constant_bias_init, upsample_nearest_to,
+)
+
+Dtype = Any
+
+
+def pick_out_indices(feature_info: List[Dict[str, int]], take: int = 3):
+    """Last `take` stages (reference _pick_out_indices model_v2.py:69-74)."""
+    n = len(feature_info)
+    out_idx = list(range(n - take, n))
+    reductions = [feature_info[i]["reduction"] for i in out_idx]
+    chs = [feature_info[i]["num_chs"] for i in out_idx]
+    return out_idx, reductions, chs
+
+
+class DetectHead(nn.Module):
+    """Decoupled head: DW trunk + 1x1 box/obj/cls (reference make_head :42-53)."""
+    num_anchors: int
+    num_classes: int
+    fpn_channels: int
+    head_depth: int = 1
+    p_obj: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, train: bool = False):
+        for _ in range(self.head_depth):
+            p = DWConvBlock(self.fpn_channels, n=1, dtype=self.dtype)(p, train)
+        A, C = self.num_anchors, self.num_classes
+        obj_bias = -math.log((1.0 - self.p_obj) / self.p_obj)
+        cls_bias = (-math.log(C)) if C > 1 else 0.0
+        box = nn.Conv(A * 4, (1, 1), dtype=self.dtype, name="box",
+                      bias_init=constant_bias_init(0.0))(p)
+        obj = nn.Conv(A * 1, (1, 1), dtype=self.dtype, name="obj",
+                      bias_init=constant_bias_init(obj_bias))(p)
+        cls = nn.Conv(A * C, (1, 1), dtype=self.dtype, name="cls",
+                      bias_init=constant_bias_init(cls_bias))(p)
+        B, S1, S2, _ = box.shape
+        box = box.reshape(B, S1, S2, A, 4)
+        obj = obj.reshape(B, S1, S2, A, 1)
+        cls = cls.reshape(B, S1, S2, A, C)
+        out = jnp.concatenate([box, obj, cls], axis=-1)       # [B,S,S,A,5+C]
+        return jnp.transpose(out, (0, 3, 1, 2, 4))            # [B,A,S,S,5+C]
+
+
+class YOLOLiteMS(nn.Module):
+    """Multi-scale anchor-free detector (both reference variants)."""
+    backbone: str = "resnet18"
+    num_classes: int = 3
+    fpn_channels: int = 128
+    num_anchors_per_level: Tuple[int, ...] = (1, 1, 1, 1)
+    depth_multiple: float = 1.0
+    width_multiple: float = 1.0
+    head_depth: int = 1
+    use_p6: bool = False
+    use_p2: bool = False
+    cpu_variant: bool = False  # True == reference YOLOLiteMS_CPU
+    dtype: Dtype = jnp.float32
+
+    # ---- static self-description (reference get_strides :227-231) ---------- #
+    @property
+    def feature_info(self):
+        return backbone_feature_info(self.backbone)
+
+    @property
+    def fpn_strides(self) -> List[int]:
+        take = 4 if self.use_p2 else 3
+        _, reductions, _ = pick_out_indices(self.feature_info, take)
+        return list(reductions) + ([reductions[-1] * 2] if self.use_p6 else [])
+
+    @property
+    def level_names(self) -> List[str]:
+        return ((["p2"] if self.use_p2 else []) + ["p3", "p4", "p5"]
+                + (["p6"] if self.use_p6 else []))
+
+    def get_strides(self) -> List[int]:
+        return list(self.fpn_strides)
+
+    def get_num_anchors_per_level(self) -> Tuple[int, ...]:
+        # normalize provided tuple to level count, mirroring P3->P2 / P5->P6
+        ns = self.num_anchors_per_level
+        if len(ns) >= 3:
+            a3, a4, a5 = int(ns[0]), int(ns[1]), int(ns[2])
+        else:
+            a3 = a4 = a5 = int(ns[0]) if len(ns) else 1
+        amap = {"p2": a3, "p3": a3, "p4": a4, "p5": a5, "p6": a5}
+        return tuple(amap[n] for n in self.level_names)
+
+    @property
+    def scaled_fpn_channels(self) -> int:
+        return int(self.fpn_channels * self.width_multiple)
+
+    @property
+    def smooth_depth(self) -> int:
+        return max(1, round(2 * self.depth_multiple))
+
+    # ------------------------------------------------------------------------ #
+    def _smooth(self, name: str):
+        ch, d = self.scaled_fpn_channels, self.smooth_depth
+        if self.cpu_variant:
+            return DWConvBlock(ch, n=d, dtype=self.dtype, name=name)
+        return ConvBlock(ch, n=d, act="silu", dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        take = 4 if self.use_p2 else 3
+        bb, info = build_backbone(self.backbone, dtype=self.dtype,
+                                  module_name="backbone")
+        out_idx, _, _ = pick_out_indices(info, take)
+        feats = bb(x, train)
+        feats = [feats[i] for i in out_idx]
+        if self.use_p2:
+            c2, c3, c4, c5 = feats
+        else:
+            c3, c4, c5 = feats
+
+        ch = self.scaled_fpn_channels
+        lat = lambda nm: nn.Conv(ch, (1, 1), dtype=self.dtype, name=nm)
+        up_add = lambda x, y: upsample_nearest_to(x, (y.shape[1], y.shape[2])) + y
+
+        p5 = self._smooth("smooth5")(lat("lateral5")(c5), train)
+        p4 = self._smooth("smooth4")(up_add(p5, lat("lateral4")(c4)), train)
+        p3 = self._smooth("smooth3")(up_add(p4, lat("lateral3")(c3)), train)
+
+        anchors = self.get_num_anchors_per_level()
+        C = self.num_classes
+        head = lambda a, nm: DetectHead(a, C, ch, self.head_depth,
+                                        dtype=self.dtype, name=nm)
+        outs = []
+        li = 0
+        if self.use_p2:
+            p2 = self._smooth("smooth2")(up_add(p3, lat("lateral2")(c2)), train)
+            outs.append(head(anchors[li], "head2")(p2, train))
+            li += 1
+        outs.append(head(anchors[li], "head3")(p3, train))
+        outs.append(head(anchors[li + 1], "head4")(p4, train))
+        outs.append(head(anchors[li + 2], "head5")(p5, train))
+        if self.use_p6:
+            p6 = ConvBNAct(ch, 3, 2, act=("relu" if self.cpu_variant else "silu"),
+                           dtype=self.dtype, name="p6_down")(p5, train)
+            p6 = self._smooth("smooth6")(p6, train)
+            outs.append(head(anchors[li + 3], "head6")(p6, train))
+        return outs
+
+
+def build_model_from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> YOLOLiteMS:
+    """Construct the detector from a merged config dict (model + training blocks)."""
+    m = cfg.get("model", {})
+    tr = cfg.get("training", {})
+    arch = str(m.get("arch", "YOLOLiteMS"))
+    napl = m.get("num_anchors_per_level", 1)
+    if isinstance(napl, int):
+        napl = (napl,) * 4
+    return YOLOLiteMS(
+        backbone=str(m.get("backbone", "resnet18")).strip(),
+        num_classes=int(m.get("num_classes", 3)),
+        fpn_channels=int(m.get("fpn_channels", 128)),
+        num_anchors_per_level=tuple(int(a) for a in napl),
+        depth_multiple=float(m.get("depth_multiple", 1.0)),
+        width_multiple=float(m.get("width_multiple", 1.0)),
+        head_depth=int(m.get("head_depth", 1)),
+        use_p6=bool(tr.get("use_p6", m.get("use_p6", False))),
+        use_p2=bool(tr.get("use_p2", m.get("use_p2", False))),
+        cpu_variant=(arch.upper().endswith("_CPU")),
+        dtype=dtype,
+    )
+
+
+def init_model(model: YOLOLiteMS, img_size: int, seed: int = 0, batch: int = 1):
+    """Initialize variables with a dummy batch. Returns (params, batch_stats)."""
+    x = jnp.zeros((batch, img_size, img_size, 3), model.dtype)
+    variables = model.init({"params": jax.random.PRNGKey(seed)}, x, train=False)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def count_params(params) -> int:
+    return int(sum(p.size for p in jax.tree.leaves(params)))

@@ -1,0 +1,6 @@
+from yololite_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_tree, data_sharding, replicated_sharding,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate_tree", "data_sharding",
+           "replicated_sharding"]

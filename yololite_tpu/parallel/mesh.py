@@ -1,0 +1,65 @@
+"""Data-parallel sharding over a jax.sharding.Mesh.
+
+The reference is strictly single-device (SURVEY.md §2: no DP/TP/PP/NCCL
+anywhere; device= one cuda index, tools/train.py:120-121). The TPU build adds
+first-class data parallelism as its distributed story:
+
+  - one mesh axis "data"; the batch dim of images/targets is sharded over it,
+  - parameters/optimizer state are replicated,
+  - the train step is jitted with these shardings; XLA inserts the gradient
+    all-reduce over ICI automatically (the loss sums over the batch, so the
+    per-shard grads psum to exactly the single-device gradient),
+  - multi-host would extend the same mesh via jax.distributed.initialize —
+    no custom comm backend, which is the idiomatic JAX replacement for "none".
+
+Model sizes here are 0.55M-18M params (BENCHMARK.md:351-357): DP is the
+idiomatic ceiling; TP/PP would only add latency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[: int(n_devices)]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
+    """Put a host batch onto the mesh, batch-dim sharded over 'data'.
+    Scalar entries (e.g. nvalid) are replicated."""
+    if mesh is None:
+        return {k: jax.device_put(v) for k, v in batch.items()}
+    ds = data_sharding(mesh)
+    rs = replicated_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.device_put(v, ds if v.ndim >= 1 else rs)
+    return out
+
+
+def replicate_tree(tree, mesh: Optional[Mesh]):
+    if mesh is None:
+        return tree
+    rs = replicated_sharding(mesh)
+    return jax.device_put(tree, rs)

@@ -1,0 +1,264 @@
+"""The training loop: epochs, warmup, aug-taper, per-epoch COCO eval, artifacts.
+
+Orchestration parity with reference tools/train.py:102-589:
+  - merged_config.yaml dump (:118), seed (:113)
+  - sanity-check image of the first batch (:291-292)
+  - augmentation tapering: mosaic/cutmix off at 70% of epochs, all augs off
+    after 90% (:326-331); separate best checkpoints per phase
+    (best_model_state / best_no_aug, :318-320, :526-541)
+  - manual warmup + epoch-stepped schedulers (:306-308, :381-388)
+  - per-epoch: EMA-model val loss + decode+NMS -> COCO stats (:408-494)
+  - metrics.csv append with the same column set (:505-518)
+  - best/last/periodic checkpointing keyed on --save_by (:521-565)
+  - loss_curve.png (:544-556), final plot_metrics + evaluate_model (:574-589)
+
+TPU-first: one jitted train step (forward+loss+backward+AdamW+EMA) with the
+batch sharded over the device mesh; the host loop only schedules LR, logs and
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from yololite_tpu.config.config import save_merged_config
+from yololite_tpu.data.dataset import YoloDataset
+from yololite_tpu.data.loader import DataLoader
+from yololite_tpu.eval.coco import coco_eval_from_lists
+from yololite_tpu.eval.evaluate import dets_to_coco, evaluate_model, gts_to_coco
+from yololite_tpu.eval.plots import plot_metrics
+from yololite_tpu.models.detector import build_model_from_config
+from yololite_tpu.parallel.mesh import make_mesh
+from yololite_tpu.train.checkpoint import (build_meta, load_checkpoint,
+                                           save_checkpoint)
+from yololite_tpu.train.schedulers import build_scheduler
+from yololite_tpu.train.steps import Trainer
+from yololite_tpu.utils.viz import save_val_debug, visualize_batch
+
+CSV_HEADER = ["epoch", "AP", "AP50", "AP75", "APS", "APM", "APL", "AR",
+              "train_loss", "val_loss", "lr_g0", "lr_g1", "lr_g2",
+              "elapsed_s", "timestamp"]
+
+
+def set_seed(seed: int = 1337):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def append_csv(path: str, header, row):
+    new = not os.path.exists(path)
+    with open(path, "a", encoding="utf-8") as f:
+        if new:
+            f.write(",".join(header) + "\n")
+        f.write(",".join(str(x) for x in row) + "\n")
+
+
+def _save_loss_curve(train_losses, val_losses, path):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure()
+        plt.plot(train_losses, label="Train")
+        plt.plot(val_losses, label="Val")
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend()
+        plt.title("Loss Curve")
+        plt.savefig(path)
+        plt.close()
+    except Exception:
+        pass
+
+
+def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    tr = config["training"]
+    set_seed(int(tr.get("seed", 1337)))
+    log_dir = config.get("logging", {}).get("log_dir", "runs/default")
+    os.makedirs(log_dir, exist_ok=True)
+    save_merged_config(config, log_dir)
+
+    num_classes = int(config["model"]["num_classes"])
+    img_size = int(tr.get("img_size", 640))
+    epochs = int(tr.get("epochs", 100))
+    batch_size = int(tr.get("batch_size", 16))
+    use_augment = bool(tr.get("augment", True))
+    use_resize = bool(tr.get("resize", False))
+    max_boxes = int(tr.get("max_boxes", 100))
+    class_names = config.get("dataset", {}).get("names")
+
+    train_ds = YoloDataset(config["dataset"]["train_images"],
+                           config["dataset"]["train_labels"],
+                           img_size=img_size, is_train=True, augment=use_augment,
+                           max_boxes=max_boxes, use_resize=use_resize)
+    val_ds = YoloDataset(config["dataset"]["val_images"],
+                         config["dataset"]["val_labels"],
+                         img_size=img_size, is_train=False, augment=False,
+                         max_boxes=max_boxes, use_resize=use_resize)
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
+                              seed=int(tr.get("seed", 1337)))
+    val_loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False)
+    steps_per_epoch = max(1, len(train_loader))
+    total_updates = steps_per_epoch * epochs
+
+    # device mesh: data-parallel over all (or requested) devices
+    n_dp = tr.get("data_parallel", None)
+    n_dev = len(jax.devices())
+    mesh = None
+    if (n_dp or n_dev) and (n_dp or n_dev) > 1 and batch_size % (n_dp or n_dev) == 0:
+        mesh = make_mesh(n_dp)
+
+    # bf16 compute when amp enabled (reference CUDA AMP -> TPU bf16)
+    dtype = jnp.bfloat16 if bool(tr.get("amp", True)) else jnp.float32
+    model = build_model_from_config(config, dtype=dtype)
+    trainer = Trainer(model, config, total_updates=total_updates, mesh=mesh)
+    state = trainer.init_state(seed=int(tr.get("seed", 1337)))
+
+    resume = tr.get("resume")
+    if resume:
+        sd, _meta = load_checkpoint(resume)
+        state = trainer.state_from_weights(sd["params"], sd["batch_stats"])
+        print(f"Resumed weights from {resume} (fresh EMA/optimizer)")
+
+    scheduler = build_scheduler(config, steps_per_epoch)
+    base_lr = float(tr.get("lr", 1e-3))
+    save_every = int(tr.get("save_every", 25) or 25)
+    save_by = tr.get("save_by") or "AP"
+    num_anchors = model.get_num_anchors_per_level()
+
+    weight_dir = os.path.join(log_dir, "weights")
+    os.makedirs(weight_dir, exist_ok=True)
+    best_ckpt = os.path.join(weight_dir, "best_model_state.ckpt")
+    last_ckpt = os.path.join(weight_dir, "last_model_state.ckpt")
+    best_no_aug = os.path.join(weight_dir, "best_no_aug.ckpt")
+
+    # sanity-check image of the first batch
+    try:
+        first = next(iter(train_loader))
+        visualize_batch(first, os.path.join(log_dir, "sanity_check.jpg"), class_names)
+    except Exception as e:
+        print(f"[sanity_check] skipped: {e}")
+
+    best_metric, best_metric_no_aug = -1.0, -1.0
+    train_losses, val_losses = [], []
+    global_step = 0
+    print(f"Training on {jax.devices()} | {len(train_ds)} train / {len(val_ds)} val "
+          f"images | img={img_size} batch={batch_size} dp={mesh is not None}")
+
+    for epoch in range(epochs):
+        # ---- augmentation taper (train.py:326-331) ----
+        if epoch == int(epochs * 0.7) and use_augment:
+            train_ds.set_mosaic_cutmix(0.0, 0.0)
+        if epoch > int(epochs * 0.9) and use_augment:
+            train_ds.set_augment(False)
+            use_augment = False
+
+        start = time.time()
+        running = np.zeros(4)  # total, box, obj, cls
+        nb = 0
+        for batch in train_loader:
+            lr = base_lr * scheduler.lr_factor(epoch, global_step)
+            device_batch = trainer.put_batch(batch)
+            state, metrics = trainer.train_step(state, device_batch,
+                                                jnp.float32(lr))
+            b = len(batch["image"])
+            running += np.array([float(metrics["total"]), float(metrics["box"]),
+                                 float(metrics["obj"]), float(metrics["cls"])]) / b
+            nb += 1
+            global_step += 1
+        avg_train = running[0] / max(1, nb)
+        train_losses.append(avg_train)
+        scheduler.end_epoch(epoch)
+
+        # ---- validation: EMA model, val loss + COCO (train.py:408-494) ----
+        variables = trainer.ema_variables(state)
+        coco_images, coco_anns, coco_dets = [], [], []
+        ann_id, img_id = 1, 1
+        v_running = 0.0
+        vb_count = 0
+        dbg_batch = random.randrange(max(1, len(val_loader)))
+        for bi, batch in enumerate(val_loader):
+            nvalid = int(batch.get("nvalid", len(batch["image"])))
+            device_batch = trainer.put_batch(batch)
+            vmetrics, dets = trainer.eval_step(variables, device_batch,
+                                               conf_th=0.1, iou_th=0.65)
+            v_running += float(vmetrics["total"]) / max(1, nvalid)
+            vb_count += 1
+            if bi == dbg_batch and epoch + 1 > 5:
+                save_val_debug(batch["image"],
+                               {k: np.asarray(v) for k, v in dets.items()},
+                               log_dir, conf_th=0.3, names=class_names)
+            imgs, anns, ann_id = gts_to_coco(batch, img_id, nvalid, img_size, ann_id)
+            coco_images += imgs
+            coco_anns += anns
+            coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()},
+                                      img_id, nvalid)
+            img_id += nvalid
+        avg_val = v_running / max(1, vb_count)
+        val_losses.append(avg_val)
+        scheduler.observe(avg_val)
+
+        coco_stats = coco_eval_from_lists(coco_images, coco_anns, coco_dets,
+                                          num_classes=num_classes)
+        elapsed = time.time() - start
+
+        lr_now = base_lr * scheduler.lr_factor(epoch + 1, global_step)
+        hyper = trainer.hyper
+        append_csv(os.path.join(log_dir, "metrics.csv"), CSV_HEADER, [
+            epoch + 1, coco_stats["AP"], coco_stats["AP50"], coco_stats["AP75"],
+            coco_stats["APS"], coco_stats["APM"], coco_stats["APL"],
+            coco_stats["AR"], avg_train, avg_val,
+            lr_now * hyper["bb_mult"], lr_now * hyper["neck_mult"],
+            lr_now * hyper["head_mult"], elapsed,
+            time.strftime("%Y-%m-%dT%H:%M:%S"),
+        ])
+
+        # ---- checkpointing (train.py:521-565) ----
+        meta = build_meta(config, coco_stats, save_by, class_names, num_anchors)
+        current = coco_stats.get(save_by, 0.0)
+        if current > best_metric and use_augment:
+            best_metric = current
+            save_checkpoint(best_ckpt, variables["params"],
+                            variables["batch_stats"], meta)
+            print(f"✓ New best {save_by}={best_metric:.4f} saved to {best_ckpt}")
+        if current > best_metric_no_aug and not use_augment:
+            best_metric_no_aug = current
+            save_checkpoint(best_no_aug, variables["params"],
+                            variables["batch_stats"], meta)
+            print(f"✓ New best (no-aug) {save_by}={best_metric_no_aug:.4f}")
+        if (epoch + 1) % save_every == 0:
+            save_checkpoint(os.path.join(weight_dir, f"epoch_{epoch + 1}.ckpt"),
+                            variables["params"], variables["batch_stats"], meta)
+        save_checkpoint(last_ckpt, variables["params"], variables["batch_stats"],
+                        meta)
+        _save_loss_curve(train_losses, val_losses,
+                         os.path.join(log_dir, "loss_curve.png"))
+
+        print(f"Epoch {epoch + 1}/{epochs} | train {avg_train:.4f} | "
+              f"val {avg_val:.4f} | AP {coco_stats['AP']:.4f} "
+              f"AP50 {coco_stats['AP50']:.4f} AP75 {coco_stats['AP75']:.4f} | "
+              f"took {elapsed:.1f}s")
+
+    # ---- final plots + full evaluation on best ckpt (train.py:574-589) ----
+    plot_metrics(os.path.join(log_dir, "metrics.csv"),
+                 os.path.join(log_dir, "plots"), smooth=0.2, style="dark")
+    load_path = best_ckpt if os.path.exists(best_ckpt) else (
+        best_no_aug if os.path.exists(best_no_aug) else last_ckpt)
+    results = {}
+    if os.path.exists(load_path):
+        sd, _ = load_checkpoint(load_path)
+        variables = {"params": sd["params"], "batch_stats": sd["batch_stats"]}
+        results = evaluate_model(trainer, variables, val_loader, log_dir,
+                                 num_classes, img_size, class_names)
+    results["best_metric"] = max(best_metric, best_metric_no_aug)
+    results["log_dir"] = log_dir
+    return results

@@ -1,0 +1,196 @@
+"""Jit-compiled train / eval / predict steps (single graph each, donated state).
+
+This replaces the reference's per-batch Python orchestration
+(tools/train.py:344-375): forward + loss + backward + AdamW + EMA fuse into ONE
+XLA program; normalization runs on-device so the host ships uint8; with a mesh,
+the batch is sharded over "data" and XLA all-reduces grads over ICI.
+
+The eval step runs forward -> decode -> score -> class-aware NMS entirely
+on-device (the reference round-trips through torchvision NMS on host,
+helpers.py:87-153) and additionally returns the val loss metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from yololite_tpu.losses import LossConfig, SimOTALoss
+from yololite_tpu.models.detector import YOLOLiteMS, init_model
+from yololite_tpu.ops.decode import decode_anchorfree
+from yololite_tpu.ops.nms import batched_nms, yolo_scores
+from yololite_tpu.parallel.mesh import (data_sharding, replicated_sharding,
+                                        replicate_tree, shard_batch)
+from yololite_tpu.train.ema import ema_update, ema_warmup_limit
+from yololite_tpu.train.optim import (apply_updates_grouped, build_optimizer,
+                                      lr_mult_tree)
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize_images(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x.astype(dtype)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    updates: jnp.ndarray  # int32 counter
+
+
+class Trainer:
+    """Owns the model, loss, optimizer and the compiled step functions."""
+
+    def __init__(self, model: YOLOLiteMS, config: Dict[str, Any],
+                 total_updates: int = 10000, mesh=None):
+        self.model = model
+        self.config = config
+        tr = config.get("training", {})
+        self.img_size = int(tr.get("img_size", 640))
+        self.loss = SimOTALoss(LossConfig.from_config(config))
+        self.tx, self.hyper = build_optimizer(config)
+        self.use_ema = bool(tr.get("ema", True))
+        self.ema_decay = float(tr.get("ema_decay", 0.995) or 0.995)
+        self.ema_warmup = ema_warmup_limit(total_updates)
+        self.mesh = mesh
+        self._mults = None
+
+        donate = (0,)
+        if mesh is not None:
+            rs = replicated_sharding(mesh)
+            ds = data_sharding(mesh)
+            batch_shardings = {"image": ds, "boxes": ds, "labels": ds, "mask": ds}
+            self.train_step = jax.jit(
+                self._train_step, donate_argnums=donate,
+                in_shardings=(rs, batch_shardings, rs),
+                out_shardings=(rs, rs))
+            self.eval_step = jax.jit(self._eval_step,
+                                     in_shardings=(rs, batch_shardings),
+                                     static_argnames=("conf_th", "iou_th", "max_det"))
+        else:
+            self.train_step = jax.jit(self._train_step, donate_argnums=donate)
+            self.eval_step = jax.jit(self._eval_step,
+                                     static_argnames=("conf_th", "iou_th", "max_det"))
+        self.predict_step = jax.jit(self._predict_step,
+                                    static_argnames=("conf_th", "iou_th", "max_det"))
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, seed: int = 0, batch: int = 1) -> TrainState:
+        params, batch_stats = init_model(self.model, self.img_size, seed, batch)
+        opt_state = self.tx.init(params)
+        self._mults, _ = lr_mult_tree(params, self.hyper["bb_mult"],
+                                      self.hyper["neck_mult"], self.hyper["head_mult"])
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state,
+                           ema_params=jax.tree.map(jnp.copy, params),
+                           ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
+                           updates=jnp.zeros((), jnp.int32))
+        return replicate_tree(state, self.mesh)
+
+    def state_from_weights(self, params, batch_stats) -> TrainState:
+        """Resume: load weights, fresh EMA/optimizer (train.py:293-297 parity)."""
+        opt_state = self.tx.init(params)
+        self._mults, _ = lr_mult_tree(params, self.hyper["bb_mult"],
+                                      self.hyper["neck_mult"], self.hyper["head_mult"])
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state,
+                           ema_params=jax.tree.map(jnp.copy, params),
+                           ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
+                           updates=jnp.zeros((), jnp.int32))
+        return replicate_tree(state, self.mesh)
+
+    def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        keep = {k: batch[k] for k in ("image", "boxes", "labels", "mask")}
+        return shard_batch(keep, self.mesh)
+
+    # ------------------------------------------------------------------ #
+    def _train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                    lr: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        x = normalize_images(batch["image"], self.model.dtype)
+        targets = {"boxes": batch["boxes"], "labels": batch["labels"],
+                   "mask": batch["mask"]}
+
+        def loss_fn(params):
+            outs, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, x,
+                train=True, mutable=["batch_stats"])
+            total, metrics = self.loss(outs, targets)
+            return total, (mut["batch_stats"], metrics)
+
+        (total, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        if self._mults is None:
+            self._mults, _ = lr_mult_tree(state.params, self.hyper["bb_mult"],
+                                          self.hyper["neck_mult"],
+                                          self.hyper["head_mult"])
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = apply_updates_grouped(state.params, updates, self._mults, lr)
+
+        n_updates = state.updates + 1
+        if self.use_ema:
+            ema_p = ema_update(state.ema_params, new_params, n_updates,
+                               self.ema_decay, self.ema_warmup)
+            ema_bs = ema_update(state.ema_batch_stats, new_bs, n_updates,
+                                self.ema_decay, self.ema_warmup)
+        else:
+            ema_p, ema_bs = new_params, new_bs
+
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, ema_params=ema_p,
+                               ema_batch_stats=ema_bs, updates=n_updates)
+        metrics = dict(metrics)
+        metrics["total"] = total
+        return new_state, metrics
+
+    # ------------------------------------------------------------------ #
+    def _eval_forward(self, params, batch_stats, images_u8):
+        x = normalize_images(images_u8, self.model.dtype)
+        return self.model.apply({"params": params, "batch_stats": batch_stats},
+                                x, train=False)
+
+    def _eval_step(self, variables: Dict[str, Any], batch: Dict[str, jnp.ndarray],
+                   conf_th: float = 0.001, iou_th: float = 0.65, max_det: int = 300):
+        """EMA-model forward -> val loss + decoded, NMS'd detections."""
+        outs = self._eval_forward(variables["params"], variables["batch_stats"],
+                                  batch["image"])
+        targets = {"boxes": batch["boxes"], "labels": batch["labels"],
+                   "mask": batch["mask"]}
+        total, metrics = self.loss(outs, targets)
+        d = decode_anchorfree(outs, self.img_size)
+        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
+                                      d["cls"].astype(jnp.float32))
+        boxes, s, c, v = batched_nms(d["box"].astype(jnp.float32), scores, classes,
+                                     iou_th=iou_th, conf_th=conf_th, max_det=max_det)
+        metrics = dict(metrics)
+        metrics["total"] = total
+        return metrics, {"boxes": boxes, "scores": s, "classes": c, "valid": v}
+
+    def _predict_step(self, variables, images_u8, conf_th: float = 0.25,
+                      iou_th: float = 0.45, max_det: int = 300):
+        outs = self._eval_forward(variables["params"], variables["batch_stats"],
+                                  images_u8)
+        d = decode_anchorfree(outs, self.img_size)
+        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
+                                      d["cls"].astype(jnp.float32))
+        boxes, s, c, v = batched_nms(d["box"].astype(jnp.float32), scores, classes,
+                                     iou_th=iou_th, conf_th=conf_th, max_det=max_det)
+        return {"boxes": boxes, "scores": s, "classes": c, "valid": v}
+
+    # ------------------------------------------------------------------ #
+    def ema_variables(self, state: TrainState):
+        if self.use_ema:
+            return {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        return {"params": state.params, "batch_stats": state.batch_stats}
