@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: edge_n @640 batched inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "img/s", "vs_baseline": N}
+
+The measured graph is the full deploy path — uint8 -> normalize -> backbone ->
+FPN -> heads -> decode -> class-aware NMS — jitted as a single XLA program in
+bf16 (the reference's deploy path is ONNX Runtime CPU at 23.88 ms/img for
+edge_n @640, BENCHMARK.md:336; the driver north star in BASELINE.json is
+5,000 img/s/chip, used as vs_baseline denominator).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_S = 5000.0  # BASELINE.json north star: edge_n @640 >= 5k img/s/chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from yololite_tpu.models.detector import build_model_from_config, init_model
+    from yololite_tpu.ops.decode import decode_anchorfree
+    from yololite_tpu.ops.nms import batched_nms, yolo_scores
+    from yololite_tpu.train.steps import normalize_images
+
+    img_size = 640
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    cfg = {"model": {"arch": "YOLOLiteMS_CPU",
+                     "backbone": "mobilenetv4_conv_small_050",
+                     "depth_multiple": 0.65, "width_multiple": 0.60,
+                     "fpn_channels": 160, "head_depth": 1, "num_classes": 3,
+                     "num_anchors_per_level": 1},
+           "training": {"img_size": img_size}}
+    model = build_model_from_config(cfg, dtype=jnp.bfloat16)
+    params, batch_stats = init_model(model, img_size, seed=0, batch=1)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def infer(variables, images_u8):
+        x = normalize_images(images_u8, jnp.bfloat16)
+        outs = model.apply(variables, x, train=False)
+        d = decode_anchorfree(outs, img_size)
+        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
+                                      d["cls"].astype(jnp.float32))
+        return batched_nms(d["box"].astype(jnp.float32), scores, classes,
+                           iou_th=0.65, conf_th=0.25, max_det=100,
+                           pre_nms_topk=512)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray((rng.rand(batch, img_size, img_size, 3) * 255)
+                         .astype(np.uint8))
+
+    # warmup + compile
+    for _ in range(3):
+        jax.block_until_ready(infer(variables, images))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    img_s = batch / dt
+    p50_ms = dt / batch * 1000.0
+    result = {
+        "metric": f"images/sec/chip (edge_n @{img_size}px batch={batch} inference incl. decode+NMS)",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+        "p50_ms_per_img": round(p50_ms, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
