@@ -1,0 +1,83 @@
+"""YoloLite public API + deploy layer tests (predict / val / export round-trip)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_train_e2e import make_toy_dataset, _toy_config
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("toyds2"))
+    data_yaml = make_toy_dataset(root, n_train=16, n_val=8)
+    from yololite_tpu.train.loop import train_from_config
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    cfg = _toy_config(data_yaml, run_dir, epochs=2)
+    train_from_config(cfg)
+    ckpt = os.path.join(run_dir, "weights", "last_model_state.ckpt")
+    assert os.path.exists(ckpt)
+    return {"ckpt": ckpt, "data": data_yaml, "root": root}
+
+
+def test_predict_api(trained_run):
+    from yololite_tpu import YoloLite
+    model = YoloLite(trained_run["ckpt"])
+    img_dir = os.path.join(trained_run["root"], "valid", "images")
+    first = sorted(os.listdir(img_dir))[0]
+    results = model.predict(os.path.join(img_dir, first), conf=0.05)
+    assert len(results) == 1
+    r = results[0]
+    assert r["boxes"].ndim == 2 and r["boxes"].shape[1] == 4
+    assert "total_ms" in r["speed"]
+    assert r["masks"] is None
+    # boxes in original image pixel range
+    if len(r["boxes"]):
+        assert r["boxes"].max() <= 96 and r["boxes"].min() >= 0
+
+    # directory source
+    results = model.predict(img_dir, conf=0.05)
+    assert len(results) == len(os.listdir(img_dir))
+
+
+def test_predictor_letterbox_backmap(trained_run):
+    """Non-square input: boxes must map back into original pixel space."""
+    import cv2
+    from yololite_tpu.deploy.predictor import Predictor
+    pred = Predictor(trained_run["ckpt"])
+    img = np.full((50, 200, 3), 30, np.uint8)
+    img[10:40, 20:60] = (30, 30, 220)  # red-ish block (BGR)
+    out = pred.infer_image_profiled(img, conf=0.01)
+    if len(out["boxes"]):
+        assert out["boxes"][:, [0, 2]].max() <= 199.5
+        assert out["boxes"][:, [1, 3]].max() <= 49.5
+
+
+def test_val_api(trained_run):
+    from yololite_tpu import YoloLite
+    model = YoloLite(trained_run["ckpt"])
+    stats = model.val(data=trained_run["data"], split="val", batch_size=4)
+    assert "map_50" in stats and "map" in stats
+    assert 0.0 <= stats["map_50"] <= 1.0 or stats["map_50"] == -1.0
+
+
+def test_export_roundtrip(trained_run, tmp_path):
+    from yololite_tpu.deploy.export import export_model, load_exported
+    import jax.numpy as jnp
+    path = export_model(trained_run["ckpt"], out_dir=str(tmp_path),
+                        fmt="decoded", batch=1, dtype=jnp.float32)
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+    call, meta = load_exported(path)
+    x = np.zeros((1, meta["img_size"], meta["img_size"], 3), np.uint8)
+    out = call(x)
+    assert "boxes_xyxy" in out
+    assert out["boxes_xyxy"].shape[0] == 1 and out["boxes_xyxy"].shape[2] == 4
+
+
+def test_model_name_resolution():
+    from yololite_tpu.api import _resolve_model_arg
+    r = _resolve_model_arg("edge_n")
+    assert r["model_yaml"].endswith("edge_n.yaml")
+    r = _resolve_model_arg("yololite_m")
+    assert "models" in r["model_yaml"]

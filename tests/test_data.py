@@ -1,0 +1,156 @@
+"""Data pipeline tests: label parsing, caching, mosaic/cutmix, augment geometry,
+padded collate, loader, weather tool."""
+
+import os
+
+import numpy as np
+import pytest
+
+import cv2
+
+from yololite_tpu.data import YoloDataset, DataLoader, parse_yolo_label_file
+from yololite_tpu.data.augment import (TrainTransform, ValTransform, hflip,
+                                       vflip, random_affine)
+from yololite_tpu.data.weather import augment_yolo, apply_weather, EFFECTS
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    from tests.test_train_e2e import make_toy_dataset
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_toy_dataset(root, n_train=8, n_val=4, img=80)
+    return root
+
+
+def test_parse_yolo_label_file(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("0 0.5 0.5 0.2 0.4\n1 0.1 0.2 0.05 0.05\n")
+    arr = parse_yolo_label_file(str(p))
+    assert arr.shape == (2, 5)
+    np.testing.assert_allclose(arr[0], [0, 0.5, 0.5, 0.2, 0.4])
+
+
+def test_parse_polygon_collapses_to_bbox(tmp_path):
+    p = tmp_path / "b.txt"
+    # triangle polygon: (0.1,0.1), (0.5,0.1), (0.3,0.6)
+    p.write_text("2 0.1 0.1 0.5 0.1 0.3 0.6\n")
+    arr = parse_yolo_label_file(str(p))
+    assert arr.shape == (1, 5)
+    cls, xc, yc, w, h = arr[0]
+    assert cls == 2
+    np.testing.assert_allclose([xc, yc, w, h], [0.3, 0.35, 0.4, 0.5], atol=1e-6)
+
+
+def test_dataset_padded_fixed_shapes(ds_root):
+    ds = YoloDataset(os.path.join(ds_root, "train", "images"),
+                     os.path.join(ds_root, "train", "labels"),
+                     img_size=64, is_train=False, augment=False, max_boxes=13)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["image"].shape == (64, 64, 3) and s["image"].dtype == np.uint8
+    assert s["boxes"].shape == (13, 4)
+    assert s["labels"].shape == (13,)
+    assert s["mask"].shape == (13,)
+    assert s["mask"].sum() >= 1  # toy images always have GTs
+
+
+def test_flip_box_geometry():
+    img = np.zeros((40, 60, 3), np.uint8)
+    boxes = np.array([[10.0, 5.0, 30.0, 25.0]])
+    _, fb = hflip(img, boxes)
+    np.testing.assert_allclose(fb, [[30, 5, 50, 25]])
+    _, fb = vflip(img, boxes)
+    np.testing.assert_allclose(fb, [[10, 15, 30, 35]])
+
+
+def test_affine_keeps_center_box_visible():
+    rng = np.random.RandomState(0)
+    img = np.full((100, 100, 3), 200, np.uint8)
+    boxes = np.array([[40.0, 40.0, 60.0, 60.0]])
+    for _ in range(10):
+        _, tb = random_affine(img, boxes, rng)
+        # center box stays roughly in frame under rot20/shear10/scale1.15/t10%
+        assert tb[0, 2] > tb[0, 0] and tb[0, 3] > tb[0, 1]
+        assert tb[0, 0] > -60 and tb[0, 2] < 160
+
+
+def test_train_transform_output(ds_root):
+    tt = TrainTransform(96)
+    img = (np.random.RandomState(0).rand(120, 200, 3) * 255).astype(np.uint8)
+    boxes = np.array([[20.0, 20.0, 120.0, 100.0]])
+    labels = np.array([0])
+    rng = np.random.RandomState(1)
+    canvas, b, l = tt(img, boxes, labels, rng)
+    assert canvas.shape == (96, 96, 3) and canvas.dtype == np.uint8
+    if len(b):
+        assert b.min() >= 0 and b.max() <= 96
+
+
+def test_mosaic_geometry(ds_root):
+    ds = YoloDataset(os.path.join(ds_root, "train", "images"),
+                     os.path.join(ds_root, "train", "labels"),
+                     img_size=64, is_train=True, augment=True)
+    img, boxes, labels = ds.mosaic(0, np.random.RandomState(0))
+    assert img.shape == (128, 128, 3)
+    assert len(boxes) >= 1
+    assert boxes[:, 2].max() <= 128 + 1e-3
+    assert len(boxes) == len(labels)
+
+
+def test_cutmix_adds_box(ds_root):
+    ds = YoloDataset(os.path.join(ds_root, "train", "images"),
+                     os.path.join(ds_root, "train", "labels"),
+                     img_size=64, is_train=True, augment=True)
+    img = ds.load_image(0)
+    boxes, labels = ds.load_label_processed(0, *img.shape[:2])
+    n0 = len(boxes)
+    img2, b2, l2 = ds.cutmix_focus_small(img, boxes, labels, 1,
+                                         np.random.RandomState(0))
+    assert len(b2) in (n0, n0 + 1)  # +1 unless patch didn't fit
+
+
+def test_loader_batches_and_padding(ds_root):
+    ds = YoloDataset(os.path.join(ds_root, "valid", "images"),
+                     os.path.join(ds_root, "valid", "labels"),
+                     img_size=64, is_train=False, augment=False)
+    dl = DataLoader(ds, batch_size=3, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 2  # 4 imgs -> 3 + 1(padded)
+    assert batches[0]["image"].shape == (3, 64, 64, 3)
+    assert batches[1]["nvalid"] == 1
+    assert batches[1]["image"].shape == (3, 64, 64, 3)  # padded to full batch
+
+
+def test_aug_taper_controls():
+    from tests.test_train_e2e import make_toy_dataset
+    import tempfile
+    with tempfile.TemporaryDirectory() as root:
+        make_toy_dataset(root, n_train=4, n_val=2, img=64)
+        ds = YoloDataset(os.path.join(root, "train", "images"),
+                         os.path.join(root, "train", "labels"),
+                         img_size=64, is_train=True, augment=True)
+        assert ds.mosaic_p > 0
+        ds.set_mosaic_cutmix(0.0, 0.0)
+        assert ds.mosaic_p == 0.0
+        ds.set_augment(False)
+        from yololite_tpu.data.augment import ValTransform
+        assert isinstance(ds.transform, ValTransform)
+
+
+def test_weather_tool(ds_root, tmp_path):
+    out = str(tmp_path / "weather")
+    n = augment_yolo(os.path.join(ds_root, "train", "images"),
+                     os.path.join(ds_root, "train", "labels"),
+                     out, effects=["fog", "rain"], per_image=1, seed=0)
+    assert n == 8
+    imgs = os.listdir(os.path.join(out, "images"))
+    lbls = os.listdir(os.path.join(out, "labels"))
+    assert len(imgs) == 8 and len(lbls) == 8
+
+
+def test_weather_effects_change_pixels():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    for eff in EFFECTS:
+        out = apply_weather(img.copy(), eff, np.random.RandomState(1))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img), eff

@@ -1,0 +1,118 @@
+"""Reusable predictor over a checkpoint — the deploy-time inference seam.
+
+Parity with the reference `ONNX_Predict` class (tools/infer_onnx.py:143-233):
+  Predictor(weights).infer_image(img_bgr, img_size, conf, iou, max_det)
+    -> (boxes_xyxy, scores, classes) in ORIGINAL image pixels,
+with letterbox (or square-resize) preprocessing and back-mapping through
+pad/scale (infer_onnx.py:214-231), plus per-stage speed profiling
+(pre/infer/post ms) as in the V2 results dict (README.md:36-42).
+
+TPU-first: preprocessing emits uint8; normalize -> forward -> decode -> NMS is
+ONE jitted graph per (batch, img_size); graphs are cached per shape.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import cv2
+
+import jax
+import jax.numpy as jnp
+
+from yololite_tpu.ops.decode import decode_anchorfree
+from yololite_tpu.ops.letterbox import letterbox_image, resize_image, unletterbox_boxes
+from yololite_tpu.ops.nms import batched_nms, yolo_scores
+from yololite_tpu.train.checkpoint import load_checkpoint, model_from_meta
+from yololite_tpu.train.steps import normalize_images
+
+
+class Predictor:
+    def __init__(self, weights: str, use_letterbox: bool = True,
+                 dtype=jnp.bfloat16):
+        sd, meta = load_checkpoint(weights)
+        self.meta = meta
+        self.model = model_from_meta(meta, dtype=dtype)
+        self.variables = {"params": sd["params"], "batch_stats": sd["batch_stats"]}
+        self.img_size = int(meta.get("img_size", 640))
+        self.names = meta.get("names")
+        self.use_letterbox = use_letterbox
+        self._compiled: Dict[tuple, callable] = {}
+
+    # ------------------------------------------------------------------ #
+    def _infer_fn(self, img_size: int, conf: float, iou: float, max_det: int):
+        key = (img_size, conf, iou, max_det)
+        if key not in self._compiled:
+            model = self.model
+
+            @jax.jit
+            def fn(variables, images_u8):
+                x = normalize_images(images_u8, model.dtype)
+                outs = model.apply(variables, x, train=False)
+                d = decode_anchorfree(outs, img_size)
+                scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
+                                              d["cls"].astype(jnp.float32))
+                return batched_nms(d["box"].astype(jnp.float32), scores, classes,
+                                   iou_th=iou, conf_th=conf, max_det=max_det,
+                                   pre_nms_topk=512)
+            self._compiled[key] = fn
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------ #
+    def preprocess(self, img_rgb: np.ndarray, img_size: int):
+        if self.use_letterbox:
+            canvas, scale, px, py = letterbox_image(img_rgb, img_size)
+        else:
+            canvas, sx, sy = resize_image(img_rgb, img_size)
+            scale, px, py = sx, 0, 0  # note: non-uniform when h != w
+        return canvas, (scale, px, py)
+
+    def infer_image(self, img_bgr: np.ndarray, img_size: Optional[int] = None,
+                    conf: float = 0.25, iou: float = 0.45, max_det: int = 300
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """BGR frame in -> (boxes xyxy px, scores, classes) in original pixels."""
+        out = self.infer_image_profiled(img_bgr, img_size, conf, iou, max_det)
+        return out["boxes"], out["scores"], out["classes"]
+
+    def infer_image_profiled(self, img_bgr: np.ndarray,
+                             img_size: Optional[int] = None, conf: float = 0.25,
+                             iou: float = 0.45, max_det: int = 300) -> Dict:
+        img_size = int(img_size or self.img_size)
+        h, w = img_bgr.shape[:2]
+
+        t0 = time.perf_counter()
+        img_rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
+        canvas, (scale, px, py) = self.preprocess(img_rgb, img_size)
+        batch = jnp.asarray(canvas[None])
+        t1 = time.perf_counter()
+
+        fn = self._infer_fn(img_size, conf, iou, max_det)
+        boxes, scores, classes, valid = jax.block_until_ready(
+            fn(self.variables, batch))
+        t2 = time.perf_counter()
+
+        m = np.asarray(valid[0])
+        b = np.asarray(boxes[0])[m]
+        s = np.asarray(scores[0])[m]
+        c = np.asarray(classes[0])[m]
+        b = unletterbox_boxes(b, scale, px, py, w, h)
+        t3 = time.perf_counter()
+
+        return {
+            "boxes": b, "scores": s, "classes": c, "masks": None,
+            "names": self.names,
+            "speed": {"preprocess_ms": (t1 - t0) * 1e3,
+                      "inference_ms": (t2 - t1) * 1e3,
+                      "postprocess_ms": (t3 - t2) * 1e3,
+                      "total_ms": (t3 - t0) * 1e3},
+        }
+
+    def warmup(self, img_size: Optional[int] = None, conf: float = 0.25,
+               iou: float = 0.45, max_det: int = 300):
+        img_size = int(img_size or self.img_size)
+        fn = self._infer_fn(img_size, conf, iou, max_det)
+        jax.block_until_ready(
+            fn(self.variables, jnp.zeros((1, img_size, img_size, 3), jnp.uint8)))

@@ -131,6 +131,11 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
 
     scheduler = build_scheduler(config, steps_per_epoch)
     base_lr = float(tr.get("lr", 1e-3))
+    # V2 API capability: freeze backbone for the first k epochs (bb LR = 0);
+    # the reference V1 declares `freeze_backbone_epochs` but never implements it
+    # (SURVEY.md "dead flags") — implemented here.
+    freeze_epochs = int(tr.get("freeze_backbone_epochs",
+                               tr.get("freeze_backbone", 0) or 0) or 0)
     save_every = int(tr.get("save_every", 25) or 25)
     save_by = tr.get("save_by") or "AP"
     num_anchors = model.get_num_anchors_per_level()
@@ -165,11 +170,12 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         start = time.time()
         running = np.zeros(4)  # total, box, obj, cls
         nb = 0
+        freeze_bb = epoch < freeze_epochs
         for batch in train_loader:
             lr = base_lr * scheduler.lr_factor(epoch, global_step)
             device_batch = trainer.put_batch(batch)
-            state, metrics = trainer.train_step(state, device_batch,
-                                                jnp.float32(lr))
+            state, metrics = trainer.train_step(
+                state, device_batch, trainer.lr_vector(lr, freeze_bb))
             b = len(batch["image"])
             running += np.array([float(metrics["total"]), float(metrics["box"]),
                                  float(metrics["obj"]), float(metrics["cls"])]) / b

@@ -22,20 +22,28 @@ import jax.numpy as jnp
 import optax
 
 
-def lr_mult_tree(params, bb_mult: float, neck_mult: float, head_mult: float):
-    """Per-leaf LR multiplier pytree based on top-level module name."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+GROUP_BACKBONE, GROUP_NECK, GROUP_HEAD = 0, 1, 2
 
-    def label_of(path) -> float:
+
+def group_index_tree(params):
+    """Per-leaf param-group index (0=backbone, 1=neck, 2=head) by module name."""
+
+    def label_of(path) -> int:
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
         if top == "backbone":
-            return bb_mult
+            return GROUP_BACKBONE
         if top in ("head3", "head4", "head5"):
-            return head_mult
-        return neck_mult
+            return GROUP_HEAD
+        return GROUP_NECK
 
-    leaves = {jax.tree_util.keystr(p): label_of(p) for p, _ in flat}
-    return jax.tree_util.tree_map_with_path(lambda p, _: label_of(p), params), leaves
+    return jax.tree_util.tree_map_with_path(lambda p, _: label_of(p), params)
+
+
+def lr_mult_tree(params, bb_mult: float, neck_mult: float, head_mult: float):
+    """Per-leaf LR multiplier pytree (kept for API compatibility)."""
+    mults = (bb_mult, neck_mult, head_mult)
+    idx = group_index_tree(params)
+    return jax.tree.map(lambda i: mults[i], idx), None
 
 
 def build_optimizer(cfg: Dict[str, Any]):
@@ -67,7 +75,11 @@ def build_optimizer(cfg: Dict[str, Any]):
     return tx, hyper
 
 
-def apply_updates_grouped(params, updates, mults, lr: jnp.ndarray):
-    """params <- params - lr * mult * direction."""
-    scaled = jax.tree.map(lambda u, m: u * (-lr * m), updates, mults)
+def apply_updates_grouped(params, updates, group_idx, lr_vec: jnp.ndarray):
+    """params <- params - lr_vec[group] * direction.
+
+    `lr_vec` is a traced [3] array of absolute LRs (backbone, neck, head) —
+    letting the host scheduler implement warmup, plateau and backbone freezing
+    without recompiling."""
+    scaled = jax.tree.map(lambda u, g: u * (-lr_vec[g]), updates, group_idx)
     return optax.apply_updates(params, scaled)

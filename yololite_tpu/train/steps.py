@@ -29,7 +29,7 @@ from yololite_tpu.parallel.mesh import (data_sharding, replicated_sharding,
                                         replicate_tree, shard_batch)
 from yololite_tpu.train.ema import ema_update, ema_warmup_limit
 from yololite_tpu.train.optim import (apply_updates_grouped, build_optimizer,
-                                      lr_mult_tree)
+                                      group_index_tree)
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
@@ -47,7 +47,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     ema_params: Any
     ema_batch_stats: Any
-    updates: jnp.ndarray  # int32 counter
+    updates: jnp.ndarray        # int32 optimizer-step counter
+    grad_accum: Any = None      # grad accumulation buffer (accumulate > 1)
+    micro: jnp.ndarray = None   # int32 micro-step counter
 
 
 class Trainer:
@@ -64,52 +66,48 @@ class Trainer:
         self.use_ema = bool(tr.get("ema", True))
         self.ema_decay = float(tr.get("ema_decay", 0.995) or 0.995)
         self.ema_warmup = ema_warmup_limit(total_updates)
+        self.accumulate = max(1, int(tr.get("accumulate", 1) or 1))
         self.mesh = mesh
-        self._mults = None
+        self._groups = None
 
-        donate = (0,)
-        if mesh is not None:
-            rs = replicated_sharding(mesh)
-            ds = data_sharding(mesh)
-            batch_shardings = {"image": ds, "boxes": ds, "labels": ds, "mask": ds}
-            self.train_step = jax.jit(
-                self._train_step, donate_argnums=donate,
-                in_shardings=(rs, batch_shardings, rs),
-                out_shardings=(rs, rs))
-            self.eval_step = jax.jit(self._eval_step,
-                                     in_shardings=(rs, batch_shardings),
-                                     static_argnames=("conf_th", "iou_th", "max_det"))
-        else:
-            self.train_step = jax.jit(self._train_step, donate_argnums=donate)
-            self.eval_step = jax.jit(self._eval_step,
-                                     static_argnames=("conf_th", "iou_th", "max_det"))
+        # shardings are carried by the (committed) inputs: state is replicated
+        # via replicate_tree, batches sharded via put_batch — jit propagates them.
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(self._eval_step,
+                                 static_argnames=("conf_th", "iou_th", "max_det"))
         self.predict_step = jax.jit(self._predict_step,
                                     static_argnames=("conf_th", "iou_th", "max_det"))
 
     # ------------------------------------------------------------------ #
-    def init_state(self, seed: int = 0, batch: int = 1) -> TrainState:
-        params, batch_stats = init_model(self.model, self.img_size, seed, batch)
+    def _make_state(self, params, batch_stats) -> TrainState:
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         opt_state = self.tx.init(params)
-        self._mults, _ = lr_mult_tree(params, self.hyper["bb_mult"],
-                                      self.hyper["neck_mult"], self.hyper["head_mult"])
+        self._groups = group_index_tree(params)
+        accum = (jax.tree.map(jnp.zeros_like, params)
+                 if self.accumulate > 1 else None)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state,
                            ema_params=jax.tree.map(jnp.copy, params),
                            ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
-                           updates=jnp.zeros((), jnp.int32))
+                           updates=jnp.zeros((), jnp.int32),
+                           grad_accum=accum,
+                           micro=jnp.zeros((), jnp.int32))
         return replicate_tree(state, self.mesh)
+
+    def init_state(self, seed: int = 0, batch: int = 1) -> TrainState:
+        params, batch_stats = init_model(self.model, self.img_size, seed, batch)
+        return self._make_state(params, batch_stats)
 
     def state_from_weights(self, params, batch_stats) -> TrainState:
         """Resume: load weights, fresh EMA/optimizer (train.py:293-297 parity)."""
-        opt_state = self.tx.init(params)
-        self._mults, _ = lr_mult_tree(params, self.hyper["bb_mult"],
-                                      self.hyper["neck_mult"], self.hyper["head_mult"])
-        state = TrainState(params=params, batch_stats=batch_stats,
-                           opt_state=opt_state,
-                           ema_params=jax.tree.map(jnp.copy, params),
-                           ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
-                           updates=jnp.zeros((), jnp.int32))
-        return replicate_tree(state, self.mesh)
+        return self._make_state(params, batch_stats)
+
+    def lr_vector(self, lr: float, freeze_backbone: bool = False) -> jnp.ndarray:
+        """Absolute per-group LRs [backbone, neck, head] for this step."""
+        bb = 0.0 if freeze_backbone else lr * self.hyper["bb_mult"]
+        return jnp.asarray([bb, lr * self.hyper["neck_mult"],
+                            lr * self.hyper["head_mult"]], jnp.float32)
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         keep = {k: batch[k] for k in ("image", "boxes", "labels", "mask")}
@@ -117,7 +115,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def _train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                    lr: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                    lr_vec: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         x = normalize_images(batch["image"], self.model.dtype)
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
@@ -132,25 +130,54 @@ class Trainer:
         (total, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
-        if self._mults is None:
-            self._mults, _ = lr_mult_tree(state.params, self.hyper["bb_mult"],
-                                          self.hyper["neck_mult"],
-                                          self.hyper["head_mult"])
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        new_params = apply_updates_grouped(state.params, updates, self._mults, lr)
+        if self._groups is None:
+            self._groups = group_index_tree(state.params)
 
-        n_updates = state.updates + 1
-        if self.use_ema:
-            ema_p = ema_update(state.ema_params, new_params, n_updates,
-                               self.ema_decay, self.ema_warmup)
-            ema_bs = ema_update(state.ema_batch_stats, new_bs, n_updates,
-                                self.ema_decay, self.ema_warmup)
+        def apply_grads(grads, opt_state, params, n_updates):
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = apply_updates_grouped(params, updates, self._groups, lr_vec)
+            if self.use_ema:
+                ema_p = ema_update(state.ema_params, new_params, n_updates,
+                                   self.ema_decay, self.ema_warmup)
+                ema_bs = ema_update(state.ema_batch_stats, new_bs, n_updates,
+                                    self.ema_decay, self.ema_warmup)
+            else:
+                ema_p, ema_bs = new_params, new_bs
+            return new_params, new_opt, ema_p, ema_bs
+
+        if self.accumulate == 1:
+            n_updates = state.updates + 1
+            new_params, new_opt, ema_p, ema_bs = apply_grads(
+                grads, state.opt_state, state.params, n_updates)
+            new_state = TrainState(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, ema_params=ema_p,
+                                   ema_batch_stats=ema_bs, updates=n_updates,
+                                   grad_accum=None, micro=state.micro + 1)
         else:
-            ema_p, ema_bs = new_params, new_bs
+            # gradient accumulation (V2 API `accumulate=` train arg)
+            k = self.accumulate
+            acc = jax.tree.map(lambda a, g: a + g, state.grad_accum, grads)
+            do_apply = (state.micro + 1) % k == 0
+            n_updates = state.updates + do_apply.astype(jnp.int32)
 
-        new_state = TrainState(params=new_params, batch_stats=new_bs,
-                               opt_state=new_opt, ema_params=ema_p,
-                               ema_batch_stats=ema_bs, updates=n_updates)
+            def on_apply(_):
+                mean_g = jax.tree.map(lambda a: a / k, acc)
+                new_params, new_opt, ema_p, ema_bs = apply_grads(
+                    mean_g, state.opt_state, state.params, n_updates)
+                zeroed = jax.tree.map(jnp.zeros_like, acc)
+                return new_params, new_opt, ema_p, ema_bs, zeroed
+
+            def on_skip(_):
+                return (state.params, state.opt_state, state.ema_params,
+                        state.ema_batch_stats, acc)
+
+            new_params, new_opt, ema_p, ema_bs, new_acc = jax.lax.cond(
+                do_apply, on_apply, on_skip, None)
+            new_state = TrainState(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, ema_params=ema_p,
+                                   ema_batch_stats=ema_bs, updates=n_updates,
+                                   grad_accum=new_acc, micro=state.micro + 1)
+
         metrics = dict(metrics)
         metrics["total"] = total
         return new_state, metrics
