@@ -92,7 +92,7 @@ def test_device_nms_matches_host_greedy():
     boxes, scores, classes = _random_dets(rng, 400)
     conf_th, iou_th, max_det = 0.05, 0.5, 300
 
-    out_b, out_s, out_c, out_v = jax.tree.map(
+    out_b, out_s, out_c, out_v, _ = jax.tree.map(
         np.asarray,
         batched_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
                     jnp.asarray(classes)[None], iou_th=iou_th, conf_th=conf_th,
@@ -124,11 +124,12 @@ def test_nms_class_aware_keeps_overlapping_different_classes():
     boxes = jnp.asarray(np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32))[None]
     scores = jnp.asarray(np.array([0.9, 0.8], np.float32))[None]
     classes = jnp.asarray(np.array([0, 1], np.int32))[None]
-    _, s, c, v = batched_nms(boxes, scores, classes, iou_th=0.5, conf_th=0.01,
-                             max_det=10, pre_nms_topk=2)
+    _, s, c, v, _i = batched_nms(boxes, scores, classes, iou_th=0.5,
+                                 conf_th=0.01, max_det=10, pre_nms_topk=2)
     assert int(np.asarray(v).sum()) == 2  # both survive per-class NMS
-    _, s2, c2, v2 = batched_nms(boxes, scores, classes, iou_th=0.5, conf_th=0.01,
-                                max_det=10, pre_nms_topk=2, class_aware=False)
+    _, s2, c2, v2, _i2 = batched_nms(boxes, scores, classes, iou_th=0.5,
+                                     conf_th=0.01, max_det=10, pre_nms_topk=2,
+                                     class_aware=False)
     assert int(np.asarray(v2).sum()) == 1  # class-agnostic suppresses one
 
 

@@ -1,0 +1,144 @@
+"""Instance segmentation tests: mask ops, seg heads, seg dataset, e2e training."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cv2
+import yaml
+
+
+def test_crop_mask_to_box():
+    from yololite_tpu.ops.masks import crop_mask_to_box
+    masks = jnp.ones((2, 8, 8))
+    boxes = jnp.asarray([[0.0, 0.0, 32.0, 32.0],      # top-left quadrant of 64px
+                         [32.0, 32.0, 64.0, 64.0]])
+    out = np.asarray(crop_mask_to_box(masks, boxes, 64.0))
+    assert out[0, :4, :4].min() == 1 and out[0, 4:, :].max() == 0
+    assert out[1, 4:, 4:].min() == 1 and out[1, :4, :].max() == 0
+
+
+def test_assemble_masks_matmul():
+    from yololite_tpu.ops.masks import assemble_masks
+    protos = jnp.zeros((8, 8, 2)).at[:, :, 0].set(10.0).at[:, :4, 1].set(-20.0)
+    coeffs = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    boxes = jnp.asarray([[0.0, 0.0, 64.0, 64.0]] * 2)
+    m = np.asarray(assemble_masks(protos, coeffs, boxes, 64.0))
+    assert m[0].min() > 0.99                     # sigmoid(10) everywhere
+    assert m[1][:, :4].max() < 0.01              # suppressed left half
+    assert m[1][:, 4:].min() > 0.99
+
+
+def test_seg_model_shapes():
+    from yololite_tpu.models import YOLOLiteMS, init_model
+    m = YOLOLiteMS(backbone="mobilenetv4_conv_small_050", num_classes=2,
+                   fpn_channels=32, cpu_variant=True, with_masks=True,
+                   num_prototypes=8)
+    params, bstats = init_model(m, 64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    outs, protos = m.apply({"params": params, "batch_stats": bstats}, x,
+                           train=False)
+    assert outs[0].shape[-1] == 5 + 2 + 8
+    assert protos.shape == (1, 16, 16, 8)        # stride 4
+
+
+def make_seg_dataset(root, n_train=12, n_val=6, img=96, seed=0):
+    """Toy seg data: filled triangles/rectangles with polygon labels."""
+    rng = np.random.RandomState(seed)
+    for split, n in (("train", n_train), ("valid", n_val)):
+        idir = os.path.join(root, split, "images")
+        ldir = os.path.join(root, split, "labels")
+        os.makedirs(idir, exist_ok=True)
+        os.makedirs(ldir, exist_ok=True)
+        for i in range(n):
+            canvas = (rng.rand(img, img, 3) * 40).astype(np.uint8)
+            cls = rng.randint(0, 2)
+            w = rng.randint(24, 48)
+            h = rng.randint(24, 48)
+            x1 = rng.randint(0, img - w)
+            y1 = rng.randint(0, img - h)
+            if cls == 0:   # red rectangle
+                canvas[y1:y1 + h, x1:x1 + w] = (220, 30, 30)
+                poly = [(x1, y1), (x1 + w, y1), (x1 + w, y1 + h), (x1, y1 + h)]
+            else:          # green triangle
+                poly = [(x1, y1 + h), (x1 + w, y1 + h), (x1 + w // 2, y1)]
+                cv2.fillPoly(canvas, [np.asarray(poly, np.int32)], (30, 220, 30))
+            coords = " ".join(f"{px / img:.6f} {py / img:.6f}" for px, py in poly)
+            cv2.imwrite(os.path.join(idir, f"{i:04d}.jpg"),
+                        cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))
+            with open(os.path.join(ldir, f"{i:04d}.txt"), "w") as f:
+                f.write(f"{cls} {coords}\n")
+    data_yaml = os.path.join(root, "data.yaml")
+    with open(data_yaml, "w") as f:
+        yaml.safe_dump({"train": f"{root}/train/images",
+                        "val": f"{root}/valid/images",
+                        "nc": 2, "names": ["rect", "tri"]}, f)
+    return data_yaml
+
+
+@pytest.fixture(scope="module")
+def seg_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segds"))
+    return make_seg_dataset(root), root
+
+
+def test_seg_dataset_masks(seg_data):
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=False, augment=False,
+                     max_boxes=8, task="segment")
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["masks"].shape == (8, 24, 24)
+    n = int(s["mask"].sum())
+    assert n >= 1
+    # mask pixels fall inside the GT box (at proto res)
+    for j in range(n):
+        ys, xs = np.nonzero(s["masks"][j])
+        if len(xs):
+            x1, y1, x2, y2 = s["boxes"][j] * (24 / 96.0)
+            assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
+            assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
+
+
+def test_seg_training_and_predict(seg_data, tmp_path):
+    from yololite_tpu.train.loop import train_from_config
+    from yololite_tpu.config import load_configs
+    from yololite_tpu.eval.plots import read_metrics_csv
+
+    data_yaml, root = seg_data
+    run_dir = str(tmp_path / "segrun")
+    cfg = load_configs(None, None, data_yaml, make_run_dir=False)
+    cfg["model"] = {"arch": "YOLOLiteMS_CPU", "backbone": "mobilenetv4_conv_small_050",
+                    "fpn_channels": 48, "width_multiple": 1.0, "depth_multiple": 0.5,
+                    "head_depth": 1, "num_classes": 2, "num_anchors_per_level": 1,
+                    "with_masks": True, "num_prototypes": 8}
+    cfg["training"].update({
+        "epochs": 2, "batch_size": 4, "img_size": 96, "lr": 3e-3,
+        "optimizer": "adamw", "scheduler": "cosine", "ema": True,
+        "ema_decay": 0.9, "amp": False, "augment": False, "seed": 0,
+        "save_every": 100, "save_by": "AP50", "max_boxes": 8,
+    })
+    cfg["loss"] = {"topk_limit": 10, "area_cells_min": 0.0, "area_cells_max": 256,
+                   "area_tol": 1.75, "lambda_mask": 6.125}
+    cfg["logging"] = {"log_dir": run_dir}
+    train_from_config(cfg)
+
+    data = read_metrics_csv(os.path.join(run_dir, "metrics.csv"))
+    assert len(data["epoch"]) == 2
+    assert np.isfinite(data["train_loss"]).all()
+
+    # predict returns masks in original image space
+    from yololite_tpu import YoloLite
+    ckpt = os.path.join(run_dir, "weights", "last_model_state.ckpt")
+    model = YoloLite(ckpt)
+    img_dir = os.path.join(root, "valid", "images")
+    first = sorted(os.listdir(img_dir))[0]
+    r = model.predict(os.path.join(img_dir, first), conf=0.01)[0]
+    if len(r["boxes"]):
+        assert r["masks"] is not None
+        assert r["masks"].shape[1:] == (96, 96)
+        assert r["masks"].dtype == np.uint8

@@ -40,6 +40,31 @@ def list_images(img_dir: str) -> List[str]:
     return files
 
 
+def parse_yolo_seg_file(path: str):
+    """Parse a YOLO txt keeping polygons: list of (cls, pts [P,2] normalized).
+    Plain box rows become their rectangle polygon (segmentation task support)."""
+    out = []
+    try:
+        with open(path, "r") as f:
+            lines = f.readlines()
+        for line in lines:
+            parts = line.strip().split()
+            if len(parts) >= 5:
+                cls = int(float(parts[0]))
+                coords = np.array([float(x) for x in parts[1:]], dtype=np.float32)
+                if len(coords) > 4:
+                    pts = coords.reshape(-1, 2)
+                else:
+                    xc, yc, w, h = coords[:4]
+                    pts = np.array([[xc - w / 2, yc - h / 2], [xc + w / 2, yc - h / 2],
+                                    [xc + w / 2, yc + h / 2], [xc - w / 2, yc + h / 2]],
+                                   np.float32)
+                out.append((cls, pts))
+    except Exception:
+        pass
+    return out
+
+
 def parse_yolo_label_file(path: str) -> np.ndarray:
     """Parse one YOLO txt file -> [N,5] (cls, xc, yc, w, h) normalized.
     Polygon rows (cls + 2k coords, k>2) collapse to their bbox."""
@@ -72,7 +97,8 @@ class YoloDataset:
     def __init__(self, img_dir: str, label_dir: str, img_size: int = 640,
                  is_train: bool = True, max_boxes: int = 100,
                  use_resize: bool = False, mosaic_p: float = 0.2,
-                 cutmix_p: float = 0.2, augment: bool = True, seed: int = 0):
+                 cutmix_p: float = 0.2, augment: bool = True, seed: int = 0,
+                 task: str = "detect", proto_down: int = 4):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
@@ -88,7 +114,10 @@ class YoloDataset:
                           if self.augment_enabled else ValTransform(img_size, use_resize))
         self.val_transform = ValTransform(img_size, use_resize)
         self.seed = seed
+        self.task = task
+        self.proto_size = int(img_size) // int(proto_down)
         self.labels_cache = self._cache_labels()
+        self.poly_cache = self._cache_polygons() if task == "segment" else None
 
     # -- reference-style augmentation tapering (tools/train.py:326-331) ------ #
     def set_mosaic_cutmix(self, mosaic_p: float, cutmix_p: float):
@@ -110,6 +139,14 @@ class YoloDataset:
             label_path = self.label_dir / (Path(img_path).stem + ".txt")
             cache.append(parse_yolo_label_file(str(label_path))
                          if label_path.exists() else np.zeros((0, 5), np.float32))
+        return cache
+
+    def _cache_polygons(self):
+        cache = []
+        for img_path in self.img_files:
+            label_path = self.label_dir / (Path(img_path).stem + ".txt")
+            cache.append(parse_yolo_seg_file(str(label_path))
+                         if label_path.exists() else [])
         return cache
 
     def __len__(self):
@@ -206,8 +243,79 @@ class YoloDataset:
             out_m[:n] = True
         return out_b, out_l, out_m
 
+    def _get_segment(self, idx: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        """Segmentation sample: flips + letterbox applied to polygons, GT masks
+        rasterized at prototype resolution (stride `proto_down`).
+
+        Geometric augs beyond flips (affine/mosaic/cutmix) are box-task only in
+        this release; photometric augs apply normally.
+        """
+        from yololite_tpu.data.augment import (channel_shuffle, color_jitter,
+                                               gauss_noise, hsv_shift, motion_blur,
+                                               random_brightness_contrast, rgb_shift)
+        from yololite_tpu.ops.letterbox import letterbox_image
+        s = self.img_size
+        ps = self.proto_size
+        img = self.load_image(idx)
+        h, w = img.shape[:2]
+        items = self.poly_cache[idx]
+        polys = [p * np.array([w, h], np.float32) for _, p in items]
+        labels = np.array([c for c, _ in items], np.int64)
+
+        if self.augment_enabled:
+            if rng.rand() < 0.3:
+                img = img[:, ::-1].copy()
+                polys = [np.stack([w - p[:, 0], p[:, 1]], 1) for p in polys]
+            if rng.rand() < 0.3:
+                img = img[::-1].copy()
+                polys = [np.stack([p[:, 0], h - p[:, 1]], 1) for p in polys]
+            if rng.rand() < 0.4:
+                op = rng.randint(5)
+                img = [random_brightness_contrast, color_jitter, hsv_shift,
+                       rgb_shift, channel_shuffle][op](img, rng)
+            if rng.rand() < 0.15:
+                img = gauss_noise(img, rng) if rng.rand() < 0.5 else motion_blur(img, rng)
+
+        canvas, scale, px, py = letterbox_image(img, s)
+        polys = [p * scale + np.array([px, py], np.float32) for p in polys]
+
+        m = self.max_boxes
+        boxes = np.zeros((m, 4), np.float32)
+        labs = np.zeros((m,), np.int32)
+        valid = np.zeros((m,), bool)
+        masks = np.zeros((m, ps, ps), np.uint8)
+        n = 0
+        for poly, lab in zip(polys, labels):
+            if n >= m:
+                break
+            poly = poly.clip([0, 0], [s - 1, s - 1])
+            x1, y1 = poly.min(0)
+            x2, y2 = poly.max(0)
+            if x2 - x1 < 2 or y2 - y1 < 2:
+                continue
+            boxes[n] = (x1, y1, x2, y2)
+            labs[n] = int(lab)
+            valid[n] = True
+            pts = np.round(poly * (ps / float(s))).astype(np.int32)
+            cv2.fillPoly(masks[n], [pts], 1)
+            n += 1
+        return {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
+                "masks": masks, "image_id": np.int64(idx)}
+
     def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         rng = rng or np.random.RandomState()
+        if self.task == "segment":
+            try:
+                return self._get_segment(idx, rng)
+            except Exception as e:
+                print(f"[ERROR] {self.img_files[idx]}: {e}")
+                ps = self.proto_size
+                return {"image": np.zeros((self.img_size, self.img_size, 3), np.uint8),
+                        "boxes": np.zeros((self.max_boxes, 4), np.float32),
+                        "labels": np.zeros((self.max_boxes,), np.int32),
+                        "mask": np.zeros((self.max_boxes,), bool),
+                        "masks": np.zeros((self.max_boxes, ps, ps), np.uint8),
+                        "image_id": np.int64(idx)}
         try:
             img = self.load_image(idx)
             h, w = img.shape[:2]

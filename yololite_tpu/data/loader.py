@@ -28,7 +28,10 @@ from yololite_tpu.data.dataset import YoloDataset
 
 def collate(samples) -> Dict[str, np.ndarray]:
     out = {}
-    for k in ("image", "boxes", "labels", "mask"):
+    keys = ["image", "boxes", "labels", "mask"]
+    if "masks" in samples[0]:  # segmentation GT masks
+        keys.append("masks")
+    for k in keys:
         out[k] = np.stack([s[k] for s in samples])
     out["image_id"] = np.asarray([s["image_id"] for s in samples], np.int64)
     return out

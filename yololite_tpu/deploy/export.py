@@ -49,9 +49,10 @@ def _build_fn(model, img_size: int, fmt: str, conf: float, iou: float,
         d = decode_anchorfree(outs, img_size)
         scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
                                       d["cls"].astype(jnp.float32))
-        return batched_nms(d["box"].astype(jnp.float32), scores, classes,
-                           iou_th=iou, conf_th=conf, max_det=max_det,
-                           pre_nms_topk=512)
+        b, s_, c_, v_, _ = batched_nms(d["box"].astype(jnp.float32), scores,
+                                       classes, iou_th=iou, conf_th=conf,
+                                       max_det=max_det, pre_nms_topk=512)
+        return b, s_, c_, v_
 
     return {"raw": raw_fn, "decoded": decoded_fn, "nms": nms_fn}[fmt]
 

@@ -47,17 +47,29 @@ class Predictor:
         key = (img_size, conf, iou, max_det)
         if key not in self._compiled:
             model = self.model
+            with_masks = bool(getattr(model, "with_masks", False))
 
             @jax.jit
             def fn(variables, images_u8):
                 x = normalize_images(images_u8, model.dtype)
-                outs = model.apply(variables, x, train=False)
-                d = decode_anchorfree(outs, img_size)
+                out = model.apply(variables, x, train=False)
+                outs, protos = out if with_masks else (out, None)
+                d = decode_anchorfree(outs, img_size,
+                                      num_classes=model.num_classes
+                                      if with_masks else None)
                 scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
                                               d["cls"].astype(jnp.float32))
-                return batched_nms(d["box"].astype(jnp.float32), scores, classes,
-                                   iou_th=iou, conf_th=conf, max_det=max_det,
-                                   pre_nms_topk=512)
+                b, s_, c_, v_, idx = batched_nms(
+                    d["box"].astype(jnp.float32), scores, classes,
+                    iou_th=iou, conf_th=conf, max_det=max_det, pre_nms_topk=512)
+                if with_masks:
+                    from yololite_tpu.ops.masks import assemble_masks_batch
+                    coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
+                                               idx[..., None], axis=1)
+                    masks = assemble_masks_batch(protos.astype(jnp.float32),
+                                                 coef, b, float(img_size))
+                    return b, s_, c_, v_, masks
+                return b, s_, c_, v_
             self._compiled[key] = fn
         return self._compiled[key]
 
@@ -90,8 +102,9 @@ class Predictor:
         t1 = time.perf_counter()
 
         fn = self._infer_fn(img_size, conf, iou, max_det)
-        boxes, scores, classes, valid = jax.block_until_ready(
-            fn(self.variables, batch))
+        out = jax.block_until_ready(fn(self.variables, batch))
+        with_masks = len(out) == 5
+        boxes, scores, classes, valid = out[:4]
         t2 = time.perf_counter()
 
         m = np.asarray(valid[0])
@@ -99,10 +112,26 @@ class Predictor:
         s = np.asarray(scores[0])[m]
         c = np.asarray(classes[0])[m]
         b = unletterbox_boxes(b, scale, px, py, w, h)
+        masks_out = None
+        if with_masks:
+            # proto-res masks in letterbox space -> crop pad, resize to original
+            pm = np.asarray(out[4][0])[m]                 # [D, Hp, Wp] probs
+            if len(pm):
+                hp = pm.shape[1]
+                r = hp / float(img_size)
+                ya, xa = int(round(py * r)), int(round(px * r))
+                yb = int(round((img_size - py) * r))
+                xb = int(round((img_size - px) * r))
+                crop = pm[:, ya:max(ya + 1, yb), xa:max(xa + 1, xb)]
+                masks_out = np.stack([
+                    (cv2.resize(cm, (w, h), interpolation=cv2.INTER_LINEAR) > 0.5)
+                    .astype(np.uint8) for cm in crop])
+            else:
+                masks_out = np.zeros((0, h, w), np.uint8)
         t3 = time.perf_counter()
 
         return {
-            "boxes": b, "scores": s, "classes": c, "masks": None,
+            "boxes": b, "scores": s, "classes": c, "masks": masks_out,
             "names": self.names,
             "speed": {"preprocess_ms": (t1 - t0) * 1e3,
                       "inference_ms": (t2 - t1) * 1e3,

@@ -78,28 +78,35 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_areas, area_rng, max_dets):
     G = len(gt_boxes)
     ious = iou_xywh_matrix(dt_boxes, gt_boxes)
 
-    dtm = np.zeros((T, D), np.int32)          # matched gt index + 1, 0 = unmatched
-    dt_ig = np.zeros((T, D), bool)
-    gtm = np.zeros((T, G), bool)
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(D):
-            best = min(thr, 1.0 - 1e-10)
-            m = -1
-            for gi in range(G):
-                if gtm[ti, gi]:
+    native = None
+    if D and G:
+        from yololite_tpu.native import coco_match_native
+        native = coco_match_native(ious, gt_ignore, IOU_THRS)
+    if native is not None:
+        dtm, dt_ig = native
+    else:  # pure-python fallback (same semantics as native yl_coco_match)
+        dtm = np.zeros((T, D), np.int32)      # matched gt index + 1, 0 = unmatched
+        dt_ig = np.zeros((T, D), bool)
+        gtm = np.zeros((T, G), bool)
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(D):
+                best = min(thr, 1.0 - 1e-10)
+                m = -1
+                for gi in range(G):
+                    if gtm[ti, gi]:
+                        continue
+                    # stop at ignored GTs once a non-ignored match exists
+                    if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best = ious[di, gi]
+                    m = gi
+                if m == -1:
                     continue
-                # stop at ignored GTs once a non-ignored match exists
-                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
-                    break
-                if ious[di, gi] < best:
-                    continue
-                best = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            dtm[ti, di] = m + 1
-            dt_ig[ti, di] = gt_ignore[m]
-            gtm[ti, m] = True
+                dtm[ti, di] = m + 1
+                dt_ig[ti, di] = gt_ignore[m]
+                gtm[ti, m] = True
     # unmatched dets outside the area range are ignored
     d_areas = np.maximum(dt_boxes[:, 2] * dt_boxes[:, 3], 0.0)
     out_rng = (d_areas < arng_lo) | (d_areas > arng_hi)

@@ -59,6 +59,9 @@ class LossConfig:
     ar_prior_w: float = 0.10
     iou_cost_w: float = 3.0
     center_cost_w: float = 0.5
+    # instance segmentation (V2 capability): YOLACT-style mask loss
+    lambda_mask: float = 6.125
+    max_pos_masks: int = 64   # static cap on positives with mask loss per image
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LossConfig":
@@ -87,6 +90,8 @@ class LossConfig:
             ar_prior_w=float(lo.get("ar_prior_w", 0.10)),
             iou_cost_w=float(lo.get("iou_cost_w", 3.0)),
             center_cost_w=float(lo.get("center_cost_w", 0.5)),
+            lambda_mask=float(lo.get("lambda_mask", 6.125)),
+            max_pos_masks=int(lo.get("max_pos_masks", 64)),
         )
 
 
@@ -232,7 +237,47 @@ def _loss_single(cfg: LossConfig, decoded, gt_xyxy, gt_labels, gt_mask, strides)
     # when no positives: box/cls contribute 0 (matches reference early-continue)
     loss_box = has_pos * loss_box
     loss_cls = has_pos * loss_cls
-    return loss_box, loss_obj, loss_cls, has_pos, npos
+    return loss_box, loss_obj, loss_cls, has_pos, npos, pos_mask, matched_gt
+
+
+def _mask_loss_single(cfg: LossConfig, coef, protos, gt_xyxy, gt_masks,
+                      pos_mask, matched_gt):
+    """YOLACT-style mask loss for one image.
+
+    coef [N,K] tanh coefficients, protos [Hp,Wp,K], gt_masks [M,Hp,Wp] in {0,1},
+    pos_mask [N] bool, matched_gt [N] int. Static shapes: at most
+    `max_pos_masks` positives contribute (top-k picks the first positives).
+    BCE on assembled mask logits, cropped to the GT box and normalized by its
+    area (the standard prototype-mask objective).
+    """
+    P = cfg.max_pos_masks
+    N = coef.shape[0]
+    hp, wp, _ = protos.shape
+    img = float(cfg.img_size)
+
+    vals, pick = jax.lax.top_k(pos_mask.astype(jnp.float32), min(P, N))
+    sel_valid = vals > 0.0                                  # [P]
+    gt_idx = matched_gt[pick]                               # [P]
+    boxes = gt_xyxy[gt_idx]                                 # [P,4]
+    target = gt_masks[gt_idx].astype(jnp.float32)           # [P,Hp,Wp]
+
+    logits = jnp.einsum("hwk,pk->phw", protos.astype(jnp.float32),
+                        coef[pick].astype(jnp.float32))     # [P,Hp,Wp]
+    bce = _bce_logits(logits, target)
+
+    # rectangular crop mask from the GT box, in prototype resolution
+    ys = (jnp.arange(hp, dtype=jnp.float32) + 0.5) * (img / hp)
+    xs = (jnp.arange(wp, dtype=jnp.float32) + 0.5) * (img / wp)
+    in_x = (xs[None, None, :] >= boxes[:, 0, None, None]) & \
+           (xs[None, None, :] <= boxes[:, 2, None, None])
+    in_y = (ys[None, :, None] >= boxes[:, 1, None, None]) & \
+           (ys[None, :, None] <= boxes[:, 3, None, None])
+    crop = (in_x & in_y).astype(jnp.float32)                # [P,Hp,Wp]
+
+    per_pos = jnp.sum(bce * crop, axis=(1, 2)) / jnp.maximum(
+        jnp.sum(crop, axis=(1, 2)), 1.0)                    # [P]
+    n_sel = jnp.sum(sel_valid)
+    return jnp.sum(jnp.where(sel_valid, per_pos, 0.0)) / jnp.maximum(n_sel, 1)
 
 
 class SimOTALoss:
@@ -247,14 +292,16 @@ class SimOTALoss:
     def __init__(self, cfg: LossConfig):
         self.cfg = cfg
 
-    def __call__(self, preds_levels: Sequence[jnp.ndarray], targets: Dict[str, jnp.ndarray]):
+    def __call__(self, preds_levels: Sequence[jnp.ndarray],
+                 targets: Dict[str, jnp.ndarray], protos: jnp.ndarray = None):
         cfg = self.cfg
         flat, shapes = flatten_levels(preds_levels)
         flat = flat.astype(jnp.float32)
         pts, strides = make_anchors(shapes, cfg.img_size)
         decoded = decode_flat(flat, pts, strides, center_mode=cfg.center_mode,
                               wh_mode=cfg.wh_mode, exp_clamp=(-10.0, 8.0),
-                              img_size=None)
+                              img_size=None, num_classes=cfg.num_classes)
+        coef = decoded.pop("coef")
 
         gt_boxes = targets["boxes"].astype(jnp.float32)
         gt_labels = targets["labels"].astype(jnp.int32)
@@ -266,8 +313,8 @@ class SimOTALoss:
                              in_axes=(
                                  {"box": 0, "obj": 0, "cls": 0, "ctr": 0, "wh": 0},
                                  0, 0, 0, None))
-        lb, lo, lc, has_pos, npos = per_image(decoded, gt_boxes, gt_labels, gt_mask,
-                                              strides)
+        lb, lo, lc, has_pos, npos, pos_mask, matched_gt = per_image(
+            decoded, gt_boxes, gt_labels, gt_mask, strides)
 
         B = gt_boxes.shape[0]
         loss_box = cfg.lambda_box * jnp.sum(lb)
@@ -281,4 +328,12 @@ class SimOTALoss:
             "pos": jnp.sum(has_pos) / max(B, 1),   # reference quirk: images w/ pos
             "npos": jnp.sum(npos),
         }
+        if protos is not None and "masks" in targets:
+            lm = jax.vmap(partial(_mask_loss_single, cfg))(
+                coef, protos, gt_boxes,
+                targets["masks"].astype(jnp.float32), pos_mask, matched_gt)
+            # per-image mean, summed over batch, zeroed for empty images
+            loss_mask = cfg.lambda_mask * jnp.sum(lm * has_pos)
+            total = total + loss_mask
+            metrics["mask"] = loss_mask
         return total, metrics

@@ -44,19 +44,25 @@ def pick_out_indices(feature_info: List[Dict[str, int]], take: int = 3):
 
 
 class DetectHead(nn.Module):
-    """Decoupled head: DW trunk + 1x1 box/obj/cls (reference make_head :42-53)."""
+    """Decoupled head: DW trunk + 1x1 box/obj/cls (reference make_head :42-53).
+
+    With num_prototypes > 0 the head also emits tanh mask coefficients
+    (YOLACT-style instance segmentation, the V2 capability — README.md:13,39);
+    the per-level output layout becomes [B, A, S, S, 5 + C + K].
+    """
     num_anchors: int
     num_classes: int
     fpn_channels: int
     head_depth: int = 1
     p_obj: float = 0.01
+    num_prototypes: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p, train: bool = False):
         for _ in range(self.head_depth):
             p = DWConvBlock(self.fpn_channels, n=1, dtype=self.dtype)(p, train)
-        A, C = self.num_anchors, self.num_classes
+        A, C, K = self.num_anchors, self.num_classes, self.num_prototypes
         obj_bias = -math.log((1.0 - self.p_obj) / self.p_obj)
         cls_bias = (-math.log(C)) if C > 1 else 0.0
         box = nn.Conv(A * 4, (1, 1), dtype=self.dtype, name="box",
@@ -66,11 +72,30 @@ class DetectHead(nn.Module):
         cls = nn.Conv(A * C, (1, 1), dtype=self.dtype, name="cls",
                       bias_init=constant_bias_init(cls_bias))(p)
         B, S1, S2, _ = box.shape
-        box = box.reshape(B, S1, S2, A, 4)
-        obj = obj.reshape(B, S1, S2, A, 1)
-        cls = cls.reshape(B, S1, S2, A, C)
-        out = jnp.concatenate([box, obj, cls], axis=-1)       # [B,S,S,A,5+C]
-        return jnp.transpose(out, (0, 3, 1, 2, 4))            # [B,A,S,S,5+C]
+        parts = [box.reshape(B, S1, S2, A, 4),
+                 obj.reshape(B, S1, S2, A, 1),
+                 cls.reshape(B, S1, S2, A, C)]
+        if K > 0:
+            coef = nn.Conv(A * K, (1, 1), dtype=self.dtype, name="mcoef")(p)
+            parts.append(jnp.tanh(coef.reshape(B, S1, S2, A, K)))
+        out = jnp.concatenate(parts, axis=-1)                 # [B,S,S,A,5+C+K]
+        return jnp.transpose(out, (0, 3, 1, 2, 4))            # [B,A,S,S,5+C+K]
+
+
+class ProtoNet(nn.Module):
+    """Mask prototype head from P3: convs + x2 upsample -> [B, S3*2, S3*2, K]
+    (prototypes at stride 4)."""
+    fpn_channels: int
+    num_prototypes: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p3, train: bool = False):
+        h = ConvBNAct(self.fpn_channels, 3, 1, act="silu", dtype=self.dtype)(p3, train)
+        h = upsample_nearest_to(h, (p3.shape[1] * 2, p3.shape[2] * 2))
+        h = ConvBNAct(self.fpn_channels, 3, 1, act="silu", dtype=self.dtype)(h, train)
+        return nn.Conv(self.num_prototypes, (1, 1), dtype=self.dtype,
+                       name="proto_out")(h)
 
 
 class YOLOLiteMS(nn.Module):
@@ -85,6 +110,8 @@ class YOLOLiteMS(nn.Module):
     use_p6: bool = False
     use_p2: bool = False
     cpu_variant: bool = False  # True == reference YOLOLiteMS_CPU
+    with_masks: bool = False   # instance segmentation (V2 capability)
+    num_prototypes: int = 32
     dtype: Dtype = jnp.float32
 
     # ---- static self-description (reference get_strides :227-231) ---------- #
@@ -154,7 +181,9 @@ class YOLOLiteMS(nn.Module):
 
         anchors = self.get_num_anchors_per_level()
         C = self.num_classes
+        K = self.num_prototypes if self.with_masks else 0
         head = lambda a, nm: DetectHead(a, C, ch, self.head_depth,
+                                        num_prototypes=K,
                                         dtype=self.dtype, name=nm)
         outs = []
         li = 0
@@ -170,6 +199,10 @@ class YOLOLiteMS(nn.Module):
                            dtype=self.dtype, name="p6_down")(p5, train)
             p6 = self._smooth("smooth6")(p6, train)
             outs.append(head(anchors[li + 3], "head6")(p6, train))
+        if self.with_masks:
+            protos = ProtoNet(ch, self.num_prototypes, dtype=self.dtype,
+                              name="protonet")(p3, train)
+            return outs, protos
         return outs
 
 
@@ -181,6 +214,8 @@ def build_model_from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> YOLOLiteM
     napl = m.get("num_anchors_per_level", 1)
     if isinstance(napl, int):
         napl = (napl,) * 4
+    with_masks = bool(m.get("with_masks", False)) or \
+        str(m.get("task", tr.get("task", "detect"))).lower() in ("segment", "seg")
     return YOLOLiteMS(
         backbone=str(m.get("backbone", "resnet18")).strip(),
         num_classes=int(m.get("num_classes", 3)),
@@ -192,6 +227,8 @@ def build_model_from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> YOLOLiteM
         use_p6=bool(tr.get("use_p6", m.get("use_p6", False))),
         use_p2=bool(tr.get("use_p2", m.get("use_p2", False))),
         cpu_variant=(arch.upper().endswith("_CPU")),
+        with_masks=with_masks,
+        num_prototypes=int(m.get("num_prototypes", 32)),
         dtype=dtype,
     )
 

@@ -48,7 +48,7 @@ def flatten_levels(preds_levels: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, Tu
 
 
 def decode_flat(
-    preds_flat: jnp.ndarray,        # [B, N, 5+C] raw logits
+    preds_flat: jnp.ndarray,        # [B, N, 5+C(+K)] raw logits
     anchor_points: jnp.ndarray,     # [N, 2] (gx, gy)
     strides: jnp.ndarray,           # [N]
     *,
@@ -56,11 +56,14 @@ def decode_flat(
     wh_mode: str = "softplus",
     exp_clamp: Tuple[float, float] = (-4.0, 4.0),
     img_size: Optional[int] = None,  # clamp boxes to [0, img_size-1] if given
+    num_classes: Optional[int] = None,  # set when trailing mask coeffs exist
 ):
     """Decode flattened raw predictions.
 
     Returns dict: box [B,N,4] xyxy px; obj [B,N] logits; cls [B,N,C] logits;
-    ctr [B,N,2] centers px; wh [B,N,2] sizes px (ctr/wh are used by the loss).
+    ctr [B,N,2] centers px; wh [B,N,2] sizes px (ctr/wh are used by the loss);
+    coef [B,N,K] mask coefficients (tanh already applied by the head) when
+    `num_classes` is given and the tail is non-empty.
     """
     s = strides[None, :, None]      # [1,N,1]
     a = anchor_points[None, :, :]   # [1,N,2]
@@ -89,12 +92,19 @@ def decode_flat(
     if img_size is not None:
         box = jnp.clip(box, 0.0, float(img_size) - 1.0)
 
+    if num_classes is None:
+        cls = preds_flat[..., 5:]
+        coef = preds_flat[..., :0]
+    else:
+        cls = preds_flat[..., 5:5 + num_classes]
+        coef = preds_flat[..., 5 + num_classes:]
     return {
         "box": box,
         "obj": preds_flat[..., 4],
-        "cls": preds_flat[..., 5:],
+        "cls": cls,
         "ctr": xy,
         "wh": wh,
+        "coef": coef,
     }
 
 
@@ -105,13 +115,17 @@ def decode_anchorfree(
     center_mode: str = "v8",
     wh_mode: str = "softplus",
     clamp: bool = True,
+    num_classes: Optional[int] = None,
 ):
     """Decode per-level raw maps (parity with decode_preds_anchorfree utils_ms.py:26-123).
 
-    Returns {"box": [B,N,4] xyxy px (clamped), "obj": [B,N,1], "cls": [B,N,C]}.
+    Returns {"box": [B,N,4] xyxy px (clamped), "obj": [B,N,1], "cls": [B,N,C]}
+    plus "coef" [B,N,K] when num_classes is given (segmentation heads).
     """
     flat, shapes = flatten_levels(preds_levels)
     pts, strides = make_anchors(shapes, img_size)
     d = decode_flat(flat, pts, strides, center_mode=center_mode, wh_mode=wh_mode,
-                    exp_clamp=(-4.0, 4.0), img_size=img_size if clamp else None)
-    return {"box": d["box"], "obj": d["obj"][..., None], "cls": d["cls"]}
+                    exp_clamp=(-4.0, 4.0), img_size=img_size if clamp else None,
+                    num_classes=num_classes)
+    return {"box": d["box"], "obj": d["obj"][..., None], "cls": d["cls"],
+            "coef": d["coef"]}

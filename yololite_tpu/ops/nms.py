@@ -108,6 +108,7 @@ def nms_single(
     final_scores, sel = jax.lax.top_k(out_scores, m)
     final_boxes = jnp.take(boxes_k, sel, axis=0)
     final_cls = jnp.take(cls_k, sel, axis=0)
+    final_idx = jnp.take(idx, sel, axis=0)  # original anchor index (for coeffs)
     final_valid = final_scores > 0.0
     final_cls = jnp.where(final_valid, final_cls, -1)
 
@@ -116,8 +117,9 @@ def nms_single(
         final_boxes = jnp.pad(final_boxes, ((0, pad), (0, 0)))
         final_scores = jnp.pad(final_scores, (0, pad))
         final_cls = jnp.pad(final_cls, (0, pad), constant_values=-1)
+        final_idx = jnp.pad(final_idx, (0, pad))
         final_valid = jnp.pad(final_valid, (0, pad))
-    return final_boxes, final_scores, final_cls, final_valid
+    return final_boxes, final_scores, final_cls, final_valid, final_idx
 
 
 @partial(jax.jit, static_argnames=("iou_th", "conf_th", "max_det", "pre_nms_topk",
@@ -161,7 +163,15 @@ def yolo_scores(obj_logits: jnp.ndarray, cls_logits: jnp.ndarray):
 # --------------------------------------------------------------------------- #
 
 def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_th: float) -> np.ndarray:
-    """Greedy NMS on host. Returns kept indices sorted by descending score."""
+    """Greedy NMS on host. Returns kept indices sorted by descending score.
+    Uses the native C++ kernel (yololite_tpu/native) when available."""
+    try:
+        from yololite_tpu.native import nms_native
+        kept = nms_native(boxes, scores, iou_th)
+        if kept is not None:
+            return kept
+    except Exception:
+        pass
     order = scores.argsort()[::-1]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)

@@ -96,14 +96,17 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     max_boxes = int(tr.get("max_boxes", 100))
     class_names = config.get("dataset", {}).get("names")
 
+    task = str(config["model"].get("task", tr.get("task", "detect"))).lower()
+    if config["model"].get("with_masks"):
+        task = "segment"
     train_ds = YoloDataset(config["dataset"]["train_images"],
                            config["dataset"]["train_labels"],
                            img_size=img_size, is_train=True, augment=use_augment,
-                           max_boxes=max_boxes, use_resize=use_resize)
+                           max_boxes=max_boxes, use_resize=use_resize, task=task)
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
-                         max_boxes=max_boxes, use_resize=use_resize)
+                         max_boxes=max_boxes, use_resize=use_resize, task=task)
     train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                               seed=int(tr.get("seed", 1337)))
     val_loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False)

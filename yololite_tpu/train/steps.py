@@ -110,8 +110,21 @@ class Trainer:
                             lr * self.hyper["head_mult"]], jnp.float32)
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-        keep = {k: batch[k] for k in ("image", "boxes", "labels", "mask")}
+        keys = ["image", "boxes", "labels", "mask"]
+        if "masks" in batch:  # instance-segmentation GT masks [B,M,Hp,Wp]
+            keys.append("masks")
+        keep = {k: batch[k] for k in keys}
         return shard_batch(keep, self.mesh)
+
+    def _forward_train(self, params, batch_stats, x):
+        """Returns (outs, protos_or_None, mutated batch_stats)."""
+        out, mut = self.model.apply({"params": params, "batch_stats": batch_stats},
+                                    x, train=True, mutable=["batch_stats"])
+        if self.model.with_masks:
+            outs, protos = out
+        else:
+            outs, protos = out, None
+        return outs, protos, mut["batch_stats"]
 
     # ------------------------------------------------------------------ #
     def _train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -119,13 +132,13 @@ class Trainer:
         x = normalize_images(batch["image"], self.model.dtype)
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
+        if "masks" in batch:
+            targets["masks"] = batch["masks"]
 
         def loss_fn(params):
-            outs, mut = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats}, x,
-                train=True, mutable=["batch_stats"])
-            total, metrics = self.loss(outs, targets)
-            return total, (mut["batch_stats"], metrics)
+            outs, protos, new_bs = self._forward_train(params, state.batch_stats, x)
+            total, metrics = self.loss(outs, targets, protos)
+            return total, (new_bs, metrics)
 
         (total, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -184,37 +197,55 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def _eval_forward(self, params, batch_stats, images_u8):
+        """Returns (outs list, protos_or_None)."""
         x = normalize_images(images_u8, self.model.dtype)
-        return self.model.apply({"params": params, "batch_stats": batch_stats},
-                                x, train=False)
+        out = self.model.apply({"params": params, "batch_stats": batch_stats},
+                               x, train=False)
+        if self.model.with_masks:
+            return out
+        return out, None
+
+    def _detect(self, outs, protos, conf_th, iou_th, max_det):
+        """decode -> score -> NMS (-> mask assembly); all on device."""
+        from yololite_tpu.ops.masks import assemble_masks_batch
+        nc = self.model.num_classes
+        d = decode_anchorfree(outs, self.img_size,
+                              num_classes=nc if self.model.with_masks else None)
+        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
+                                      d["cls"].astype(jnp.float32))
+        boxes, s, c, v, idx = batched_nms(d["box"].astype(jnp.float32), scores,
+                                          classes, iou_th=iou_th,
+                                          conf_th=conf_th, max_det=max_det)
+        dets = {"boxes": boxes, "scores": s, "classes": c, "valid": v, "idx": idx}
+        if protos is not None:
+            coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
+                                       idx[..., None], axis=1)   # [B,D,K]
+            dets["masks"] = assemble_masks_batch(protos.astype(jnp.float32),
+                                                 coef, boxes,
+                                                 float(self.img_size))
+        return dets
 
     def _eval_step(self, variables: Dict[str, Any], batch: Dict[str, jnp.ndarray],
                    conf_th: float = 0.001, iou_th: float = 0.65, max_det: int = 300):
         """EMA-model forward -> val loss + decoded, NMS'd detections."""
-        outs = self._eval_forward(variables["params"], variables["batch_stats"],
-                                  batch["image"])
+        outs, protos = self._eval_forward(variables["params"],
+                                          variables["batch_stats"],
+                                          batch["image"])
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
-        total, metrics = self.loss(outs, targets)
-        d = decode_anchorfree(outs, self.img_size)
-        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
-                                      d["cls"].astype(jnp.float32))
-        boxes, s, c, v = batched_nms(d["box"].astype(jnp.float32), scores, classes,
-                                     iou_th=iou_th, conf_th=conf_th, max_det=max_det)
+        if "masks" in batch:
+            targets["masks"] = batch["masks"]
+        total, metrics = self.loss(outs, targets, protos)
+        dets = self._detect(outs, protos, conf_th, iou_th, max_det)
         metrics = dict(metrics)
         metrics["total"] = total
-        return metrics, {"boxes": boxes, "scores": s, "classes": c, "valid": v}
+        return metrics, dets
 
     def _predict_step(self, variables, images_u8, conf_th: float = 0.25,
                       iou_th: float = 0.45, max_det: int = 300):
-        outs = self._eval_forward(variables["params"], variables["batch_stats"],
-                                  images_u8)
-        d = decode_anchorfree(outs, self.img_size)
-        scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
-                                      d["cls"].astype(jnp.float32))
-        boxes, s, c, v = batched_nms(d["box"].astype(jnp.float32), scores, classes,
-                                     iou_th=iou_th, conf_th=conf_th, max_det=max_det)
-        return {"boxes": boxes, "scores": s, "classes": c, "valid": v}
+        outs, protos = self._eval_forward(variables["params"],
+                                          variables["batch_stats"], images_u8)
+        return self._detect(outs, protos, conf_th, iou_th, max_det)
 
     # ------------------------------------------------------------------ #
     def ema_variables(self, state: TrainState):
