@@ -29,7 +29,7 @@ def main():
     from yololite_tpu.train.steps import normalize_images
 
     img_size = 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
     cfg = {"model": {"arch": "YOLOLiteMS_CPU",
                      "backbone": "mobilenetv4_conv_small_050",
@@ -50,7 +50,7 @@ def main():
                                       d["cls"].astype(jnp.float32))
         return batched_nms(d["box"].astype(jnp.float32), scores, classes,
                            iou_th=0.65, conf_th=0.25, max_det=100,
-                           pre_nms_topk=512)
+                           pre_nms_topk=256)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray((rng.rand(batch, img_size, img_size, 3) * 255)

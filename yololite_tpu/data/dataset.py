@@ -119,6 +119,18 @@ class YoloDataset:
         self.labels_cache = self._cache_labels()
         self.poly_cache = self._cache_polygons() if task == "segment" else None
 
+    def set_img_size(self, img_size: int):
+        """Multi-scale training: switch the letterbox target size. Each size is
+        its own cached XLA graph downstream (static shapes per size)."""
+        self.img_size = int(img_size)
+        self.proto_size = self.img_size // 4
+        use_resize = getattr(self.val_transform, "use_resize", False)
+        self.val_transform = ValTransform(self.img_size, use_resize)
+        if isinstance(self.transform, TrainTransform):
+            self.transform = TrainTransform(self.img_size, use_resize)
+        else:
+            self.transform = ValTransform(self.img_size, use_resize)
+
     # -- reference-style augmentation tapering (tools/train.py:326-331) ------ #
     def set_mosaic_cutmix(self, mosaic_p: float, cutmix_p: float):
         self.mosaic_p = mosaic_p

@@ -293,8 +293,13 @@ class SimOTALoss:
         self.cfg = cfg
 
     def __call__(self, preds_levels: Sequence[jnp.ndarray],
-                 targets: Dict[str, jnp.ndarray], protos: jnp.ndarray = None):
+                 targets: Dict[str, jnp.ndarray], protos: jnp.ndarray = None,
+                 img_size: int = None):
+        """`img_size` overrides cfg.img_size (multi-scale training: one traced
+        graph per size, the radius/area gates scale with the actual input)."""
         cfg = self.cfg
+        if img_size is not None and int(img_size) != cfg.img_size:
+            cfg = dataclasses.replace(cfg, img_size=int(img_size))
         flat, shapes = flatten_levels(preds_levels)
         flat = flat.astype(jnp.float32)
         pts, strides = make_anchors(shapes, cfg.img_size)

@@ -162,6 +162,12 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     print(f"Training on {jax.devices()} | {len(train_ds)} train / {len(val_ds)} val "
           f"images | img={img_size} batch={batch_size} dp={mesh is not None}")
 
+    # multi-scale training: random size per epoch from the configured list
+    # (the reference declares `multi_scale_sizes` but never applies it —
+    # SURVEY.md "dead flags"; implemented here, one cached graph per size)
+    multi_scale = tr.get("multi_scale_sizes") or []
+    ms_rng = np.random.RandomState(int(tr.get("seed", 1337)) + 99)
+
     for epoch in range(epochs):
         # ---- augmentation taper (train.py:326-331) ----
         if epoch == int(epochs * 0.7) and use_augment:
@@ -169,6 +175,10 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         if epoch > int(epochs * 0.9) and use_augment:
             train_ds.set_augment(False)
             use_augment = False
+        if multi_scale:
+            size = int(multi_scale[ms_rng.randint(len(multi_scale))])
+            if size != train_ds.img_size:
+                train_ds.set_img_size(size)
 
         start = time.time()
         running = np.zeros(4)  # total, box, obj, cls

@@ -135,9 +135,11 @@ class Trainer:
         if "masks" in batch:
             targets["masks"] = batch["masks"]
 
+        img_size = int(batch["image"].shape[1])
+
         def loss_fn(params):
             outs, protos, new_bs = self._forward_train(params, state.batch_stats, x)
-            total, metrics = self.loss(outs, targets, protos)
+            total, metrics = self.loss(outs, targets, protos, img_size=img_size)
             return total, (new_bs, metrics)
 
         (total, (new_bs, metrics)), grads = jax.value_and_grad(
@@ -205,11 +207,12 @@ class Trainer:
             return out
         return out, None
 
-    def _detect(self, outs, protos, conf_th, iou_th, max_det):
+    def _detect(self, outs, protos, conf_th, iou_th, max_det, img_size=None):
         """decode -> score -> NMS (-> mask assembly); all on device."""
         from yololite_tpu.ops.masks import assemble_masks_batch
         nc = self.model.num_classes
-        d = decode_anchorfree(outs, self.img_size,
+        img_size = int(img_size or self.img_size)
+        d = decode_anchorfree(outs, img_size,
                               num_classes=nc if self.model.with_masks else None)
         scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
                                       d["cls"].astype(jnp.float32))
@@ -221,8 +224,7 @@ class Trainer:
             coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
                                        idx[..., None], axis=1)   # [B,D,K]
             dets["masks"] = assemble_masks_batch(protos.astype(jnp.float32),
-                                                 coef, boxes,
-                                                 float(self.img_size))
+                                                 coef, boxes, float(img_size))
         return dets
 
     def _eval_step(self, variables: Dict[str, Any], batch: Dict[str, jnp.ndarray],
@@ -235,8 +237,9 @@ class Trainer:
                    "mask": batch["mask"]}
         if "masks" in batch:
             targets["masks"] = batch["masks"]
-        total, metrics = self.loss(outs, targets, protos)
-        dets = self._detect(outs, protos, conf_th, iou_th, max_det)
+        img_size = int(batch["image"].shape[1])
+        total, metrics = self.loss(outs, targets, protos, img_size=img_size)
+        dets = self._detect(outs, protos, conf_th, iou_th, max_det, img_size)
         metrics = dict(metrics)
         metrics["total"] = total
         return metrics, dets
@@ -245,7 +248,8 @@ class Trainer:
                       iou_th: float = 0.45, max_det: int = 300):
         outs, protos = self._eval_forward(variables["params"],
                                           variables["batch_stats"], images_u8)
-        return self._detect(outs, protos, conf_th, iou_th, max_det)
+        return self._detect(outs, protos, conf_th, iou_th, max_det,
+                            int(images_u8.shape[1]))
 
     # ------------------------------------------------------------------ #
     def ema_variables(self, state: TrainState):
