@@ -27,6 +27,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host setup: call once per host before building the mesh.
+
+    Thin wrapper over `jax.distributed.initialize` — on TPU pods the arguments
+    auto-discover from the environment; on other platforms pass them
+    explicitly. Returns the global device count. After this, `make_mesh()`
+    spans ALL hosts' devices and the same pjit'ed train step scales across
+    DCN+ICI with no further changes (SPMD).
+    """
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first n devices (default: all)."""
     if devices is None:

@@ -184,7 +184,13 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         running = np.zeros(4)  # total, box, obj, cls
         nb = 0
         freeze_bb = epoch < freeze_epochs
+        # --profile: jax.profiler trace of a few warm steps of epoch 1
+        profiling = bool(tr.get("profile")) and epoch == 1
         for batch in train_loader:
+            if profiling and nb == 2:
+                import jax.profiler
+                os.makedirs(os.path.join(log_dir, "profile"), exist_ok=True)
+                jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             lr = base_lr * scheduler.lr_factor(epoch, global_step)
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(
@@ -194,6 +200,11 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                                  float(metrics["obj"]), float(metrics["cls"])]) / b
             nb += 1
             global_step += 1
+            if profiling and nb == 7:
+                import jax.profiler
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[profile] trace saved to {log_dir}/profile")
         avg_train = running[0] / max(1, nb)
         train_losses.append(avg_train)
         scheduler.end_epoch(epoch)
