@@ -123,7 +123,7 @@ def nms_single(
 
 
 @partial(jax.jit, static_argnames=("iou_th", "conf_th", "max_det", "pre_nms_topk",
-                                   "class_aware", "use_diou"))
+                                   "class_aware", "use_diou", "use_pallas"))
 def batched_nms(
     boxes: jnp.ndarray,    # [B,N,4]
     scores: jnp.ndarray,   # [B,N]
@@ -135,11 +135,54 @@ def batched_nms(
     pre_nms_topk: int = 1024,
     class_aware: bool = True,
     use_diou: bool = False,
+    use_pallas: bool = False,
 ):
-    """vmapped class-aware NMS over the batch (static shapes end to end)."""
+    """vmapped class-aware NMS over the batch (static shapes end to end).
+
+    use_pallas=True routes the suppression stage through the fused Pallas TPU
+    kernel (ops/pallas_nms.py) — numerically identical; XLA's fused path is
+    marginally faster on v5e as of this round, so it stays the default.
+    """
+    if use_pallas and not use_diou:
+        return _batched_nms_pallas(boxes, scores, classes, iou_th=iou_th,
+                                   conf_th=conf_th, max_det=max_det,
+                                   pre_nms_topk=pre_nms_topk,
+                                   class_aware=class_aware)
     fn = partial(nms_single, iou_th=iou_th, conf_th=conf_th, max_det=max_det,
                  pre_nms_topk=pre_nms_topk, class_aware=class_aware, use_diou=use_diou)
     return jax.vmap(fn)(boxes, scores, classes)
+
+
+def _batched_nms_pallas(boxes, scores, classes, *, iou_th, conf_th, max_det,
+                        pre_nms_topk, class_aware, coord_bound=8192.0):
+    from yololite_tpu.ops.pallas_nms import pallas_greedy_keep
+    n = boxes.shape[1]
+    k = min(pre_nms_topk, n)
+    scores = jnp.where(scores > conf_th, scores, 0.0)
+    top_scores, idx = jax.lax.top_k(scores, k)                       # [B,k]
+    boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)     # [B,k,4]
+    cls_k = jnp.take_along_axis(classes, idx, axis=1)
+    valid = top_scores > 0.0
+    shifted = (boxes_k + (cls_k.astype(boxes_k.dtype) * coord_bound)[..., None]
+               if class_aware else boxes_k)
+    keep = pallas_greedy_keep(shifted, valid, iou_th=iou_th)         # [B,k]
+
+    out_scores = jnp.where(keep, top_scores, 0.0)
+    m = min(max_det, k)
+    final_scores, sel = jax.lax.top_k(out_scores, m)
+    final_boxes = jnp.take_along_axis(boxes_k, sel[..., None], axis=1)
+    final_cls = jnp.take_along_axis(cls_k, sel, axis=1)
+    final_idx = jnp.take_along_axis(idx, sel, axis=1)
+    final_valid = final_scores > 0.0
+    final_cls = jnp.where(final_valid, final_cls, -1)
+    if m < max_det:
+        pad = max_det - m
+        final_boxes = jnp.pad(final_boxes, ((0, 0), (0, pad), (0, 0)))
+        final_scores = jnp.pad(final_scores, ((0, 0), (0, pad)))
+        final_cls = jnp.pad(final_cls, ((0, 0), (0, pad)), constant_values=-1)
+        final_idx = jnp.pad(final_idx, ((0, 0), (0, pad)))
+        final_valid = jnp.pad(final_valid, ((0, 0), (0, pad)))
+    return final_boxes, final_scores, final_cls, final_valid, final_idx
 
 
 def yolo_scores(obj_logits: jnp.ndarray, cls_logits: jnp.ndarray):

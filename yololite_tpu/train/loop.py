@@ -188,7 +188,6 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         profiling = bool(tr.get("profile")) and epoch == 1
         for batch in train_loader:
             if profiling and nb == 2:
-                import jax.profiler
                 os.makedirs(os.path.join(log_dir, "profile"), exist_ok=True)
                 jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             lr = base_lr * scheduler.lr_factor(epoch, global_step)
@@ -201,7 +200,6 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             nb += 1
             global_step += 1
             if profiling and nb == 7:
-                import jax.profiler
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[profile] trace saved to {log_dir}/profile")
