@@ -117,3 +117,29 @@ def test_confusion_matrix():
     assert m[2, 0] == 1          # background -> class0 FP
     assert m[1, 2] == 0          # class1 was matched (mislabeled), not FN
     assert m.sum() == 3
+
+
+def test_segm_evaluator_golden():
+    """Mask-IoU COCOeval: a det with a perfect box but half-covering mask gets
+    full bbox AP yet zero segm AP75 (mask IoU 0.5)."""
+    from yololite_tpu.eval.coco import COCOEvaluator
+    gm = np.zeros((16, 16), bool)
+    gm[4:12, 4:12] = True                    # GT mask: 8x8 square
+    dm_perfect = gm.copy()
+    dm_half = np.zeros((16, 16), bool)
+    dm_half[4:12, 4:8] = True                # covers half -> IoU 0.5
+
+    ann = dict(_ann(1, 1, 1, [16, 16, 32, 32]), mask=gm)
+    det_p = dict(_det(1, 1, [16, 16, 32, 32], 0.9), mask=dm_perfect)
+    det_h = dict(_det(1, 1, [16, 16, 32, 32], 0.9), mask=dm_half)
+
+    segm = COCOEvaluator(iou_type="segm")
+    s1 = segm.evaluate([_img(1)], [ann], [det_p])
+    assert abs(s1["AP50"] - 1.0) < 1e-6 and abs(s1["AP"] - 1.0) < 1e-6
+
+    s2 = segm.evaluate([_img(1)], [ann], [det_h])
+    assert abs(s2["AP50"] - 1.0) < 1e-6      # IoU 0.5 passes the 0.5 threshold
+    assert s2["AP75"] == 0.0                 # but not 0.75
+    # bbox evaluator ignores masks entirely
+    s3 = COCOEvaluator().evaluate([_img(1)], [ann], [det_h])
+    assert abs(s3["AP75"] - 1.0) < 1e-6

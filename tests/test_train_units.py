@@ -108,3 +108,32 @@ def test_param_groups():
     assert tops["head6"] == {GROUP_NECK}
     assert tops["lateral3"] == {GROUP_NECK}
     assert tops["smooth4"] == {GROUP_NECK}
+
+
+def test_determinism_same_seed_same_loss():
+    """JAX determinism (SURVEY §5 'race detection: standard determinism flags'):
+    identical seed + data -> bit-identical first-step loss."""
+    import numpy as np
+    from yololite_tpu.models.detector import build_model_from_config
+    from yololite_tpu.train.steps import Trainer
+
+    cfg = {"model": {"arch": "YOLOLiteMS_CPU",
+                     "backbone": "mobilenetv4_conv_small_050",
+                     "fpn_channels": 32, "head_depth": 1, "num_classes": 2,
+                     "num_anchors_per_level": 1, "depth_multiple": 0.5},
+           "training": {"img_size": 32, "lr": 1e-3, "ema": False, "amp": False},
+           "loss": {"topk_limit": 5}}
+    rng = np.random.RandomState(0)
+    batch = {"image": (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8),
+             "boxes": np.tile(np.array([[4., 4., 20., 20.]], np.float32), (2, 4, 1)),
+             "labels": np.zeros((2, 4), np.int32),
+             "mask": np.tile(np.array([True, False, False, False]), (2, 1))}
+
+    losses = []
+    for _ in range(2):
+        model = build_model_from_config(cfg)
+        tr = Trainer(model, cfg, total_updates=10)
+        st = tr.init_state(seed=42)
+        _, m = tr.train_step(st, tr.put_batch(batch), tr.lr_vector(1e-3))
+        losses.append(float(m["total"]))
+    assert losses[0] == losses[1], losses

@@ -85,7 +85,6 @@ class YoloLite:
             train_yaml = None
         cfg = load_configs(model_yaml, train_yaml, data, make_run_dir=False)
         if base_cfg:
-            from yololite_tpu.config import deep_merge
             model_block = dict(base_cfg.get("model", {}))
             model_block.update(cfg.get("model", {}))
             cfg["model"] = model_block

@@ -19,7 +19,7 @@ host->HBM transfers stay uint8 (4x less PCIe/DMA traffic).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+
 
 import numpy as np
 

@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
-
-import numpy as np
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

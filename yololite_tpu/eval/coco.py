@@ -23,7 +23,7 @@ Empty-detection guard returns zeros (helpers.py:166-178 parity).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -57,9 +57,23 @@ def iou_xywh_matrix(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_areas, area_rng, max_dets):
+def mask_iou_matrix(dt_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
+    """IoU between binary masks: [D,h,w] x [G,h,w] -> [D,G] (segm COCOeval)."""
+    if len(dt_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(dt_masks), len(gt_masks)), np.float64)
+    d = dt_masks.reshape(len(dt_masks), -1).astype(np.float64)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float64)
+    inter = d @ g.T
+    union = d.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_areas, area_rng, max_dets,
+                  iou_matrix=None):
     """Match dets to GTs for one (image, category) over all IoU thresholds.
 
+    `iou_matrix` [D,G] (unsorted det x gt order) overrides the default bbox IoU
+    — used for segm evaluation with mask IoUs.
     Returns (dt_matches [T,D] (1=TP), dt_ignore [T,D], scores [D], npig).
     """
     arng_lo, arng_hi = area_rng
@@ -76,7 +90,10 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_areas, area_rng, max_dets):
     T = len(IOU_THRS)
     D = len(dt_boxes)
     G = len(gt_boxes)
-    ious = iou_xywh_matrix(dt_boxes, gt_boxes)
+    if iou_matrix is not None:
+        ious = np.asarray(iou_matrix, np.float64)[dorder][:, gorder]
+    else:
+        ious = iou_xywh_matrix(dt_boxes, gt_boxes)
 
     native = None
     if D and G:
@@ -118,8 +135,13 @@ def _evaluate_img(dt_boxes, dt_scores, gt_boxes, gt_areas, area_rng, max_dets):
 class COCOEvaluator:
     """Accumulates GT/DT lists and computes COCO stats."""
 
-    def __init__(self, num_classes: Optional[int] = None):
+    def __init__(self, num_classes: Optional[int] = None,
+                 iou_type: str = "bbox"):
+        """iou_type: "bbox" or "segm". For "segm", anns and dets must carry a
+        "mask" key with a binary np.ndarray (any common per-image resolution);
+        GT area comes from the mask (instance-segmentation mAP)."""
         self.num_classes = num_classes
+        self.iou_type = iou_type
 
     def evaluate(self, coco_images: List[dict], coco_anns: List[dict],
                  coco_dets: List[dict]) -> Dict[str, float]:
@@ -161,9 +183,29 @@ class COCOEvaluator:
                                            for g in gts], np.float64)
                     dt_boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
                     dt_scores = np.asarray([d["score"] for d in dts], np.float64)
+                    iou_m = None
+                    if self.iou_type == "segm":
+                        gm = np.asarray([np.asarray(g["mask"], bool) for g in gts]) \
+                            if gts else np.zeros((0, 1, 1), bool)
+                        dm = np.asarray([np.asarray(d["mask"], bool) for d in dts]) \
+                            if dts else np.zeros((0, 1, 1), bool)
+                        iou_m = mask_iou_matrix(dm, gm)
+                        if len(gts):
+                            # area ranges bin by SEGMENTATION area, scaled from
+                            # mask resolution to image pixels
+                            im_w = im_h = None
+                            for im in coco_images:
+                                if int(im["id"]) == img:
+                                    im_w, im_h = im.get("width"), im.get("height")
+                                    break
+                            scale = 1.0
+                            if im_w and gm.shape[1] > 0:
+                                scale = (float(im_w) / gm.shape[2]) * \
+                                        (float(im_h) / gm.shape[1])
+                            gt_areas = gm.reshape(len(gm), -1).sum(1) * scale
                     tp, ig, scores, npig = _evaluate_img(dt_boxes, dt_scores,
                                                          gt_boxes, gt_areas,
-                                                         arng, MAX_DETS)
+                                                         arng, MAX_DETS, iou_m)
                     all_scores.append(scores)
                     all_tp.append(tp)
                     all_ig.append(ig)

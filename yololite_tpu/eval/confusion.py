@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -23,44 +23,55 @@ from yololite_tpu.eval.prf1 import build_curves_from_coco
 
 def dets_to_coco(det_batch: Dict[str, np.ndarray], first_img_id: int,
                  nvalid: int, add_one: bool = True) -> List[dict]:
-    """Fixed-shape NMS outputs -> COCO det dicts (xywh, 1-based category)."""
+    """Fixed-shape NMS outputs -> COCO det dicts (xywh, 1-based category).
+    Segmentation models also attach a binarized "mask" per det (proto res)."""
     out = []
     boxes = np.asarray(det_batch["boxes"])
     scores = np.asarray(det_batch["scores"])
     classes = np.asarray(det_batch["classes"])
     valid = np.asarray(det_batch["valid"])
+    masks = np.asarray(det_batch["masks"]) if "masks" in det_batch else None
     for b in range(min(len(boxes), nvalid)):
         m = valid[b]
-        for box, sc, cl in zip(boxes[b][m], scores[b][m], classes[b][m]):
-            x1, y1, x2, y2 = [float(v) for v in box]
-            out.append({
+        idxs = np.nonzero(m)[0]
+        for i in idxs:
+            x1, y1, x2, y2 = [float(v) for v in boxes[b][i]]
+            d = {
                 "image_id": int(first_img_id + b),
-                "category_id": int(cl) + (1 if add_one else 0),
+                "category_id": int(classes[b][i]) + (1 if add_one else 0),
                 "bbox": [x1, y1, max(0.0, x2 - x1), max(0.0, y2 - y1)],
-                "score": float(sc),
-            })
+                "score": float(scores[b][i]),
+            }
+            if masks is not None:
+                d["mask"] = masks[b][i] > 0.5
+            out.append(d)
     return out
 
 
 def gts_to_coco(batch: Dict[str, np.ndarray], first_img_id: int, nvalid: int,
                 img_size: int, ann_id_start: int):
-    """Padded GT batch -> (coco images, coco anns, next_ann_id)."""
+    """Padded GT batch -> (coco images, coco anns, next_ann_id).
+    Segmentation batches also attach the GT instance "mask" per ann."""
     images, anns = [], []
     ann_id = ann_id_start
     boxes = np.asarray(batch["boxes"])
     labels = np.asarray(batch["labels"])
     mask = np.asarray(batch["mask"])
+    gt_masks = np.asarray(batch["masks"]) if "masks" in batch else None
     for b in range(min(len(boxes), nvalid)):
         img_id = int(first_img_id + b)
         images.append({"id": img_id, "file_name": f"val_{img_id}.jpg",
                        "width": int(img_size), "height": int(img_size)})
-        for box, lab in zip(boxes[b][mask[b]], labels[b][mask[b]]):
-            x1, y1, x2, y2 = [float(v) for v in box]
+        idxs = np.nonzero(mask[b])[0]
+        for i in idxs:
+            x1, y1, x2, y2 = [float(v) for v in boxes[b][i]]
             w, h = max(0.0, x2 - x1), max(0.0, y2 - y1)
-            anns.append({"id": ann_id, "image_id": img_id,
-                         "category_id": int(lab) + 1,
-                         "bbox": [x1, y1, w, h], "area": float(w * h),
-                         "iscrowd": 0})
+            a = {"id": ann_id, "image_id": img_id,
+                 "category_id": int(labels[b][i]) + 1,
+                 "bbox": [x1, y1, w, h], "area": float(w * h), "iscrowd": 0}
+            if gt_masks is not None:
+                a["mask"] = gt_masks[b][i] > 0
+            anns.append(a)
             ann_id += 1
     return images, anns, ann_id
 
@@ -137,6 +148,12 @@ def evaluate_model(trainer, variables, val_loader, log_dir: str, num_classes: in
 
     stats = coco_eval_from_lists(coco_images, coco_anns, coco_dets,
                                  num_classes=num_classes)
+    # instance-segmentation mAP (mask IoU) when masks are present
+    segm_stats = None
+    if any("mask" in d for d in coco_dets) and any("mask" in a for a in coco_anns):
+        from yololite_tpu.eval.coco import COCOEvaluator
+        segm_stats = COCOEvaluator(num_classes, iou_type="segm").evaluate(
+            coco_images, coco_anns, coco_dets)
     curves = build_curves_from_coco(coco_images, coco_anns, coco_dets,
                                     out_dir=log_dir)
     create_confusion_matrix(coco_anns, coco_dets, num_classes,
@@ -156,6 +173,8 @@ def evaluate_model(trainer, variables, val_loader, log_dir: str, num_classes: in
         "best_conf": float(curves.get("best_conf", 0.0)),
         "ms_per_img": float(ms_per_img),
     }
+    if segm_stats is not None:
+        results["coco_segm"] = segm_stats
     with open(os.path.join(log_dir, "eval_results.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results

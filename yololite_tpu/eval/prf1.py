@@ -16,7 +16,7 @@ from __future__ import annotations
 import csv
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

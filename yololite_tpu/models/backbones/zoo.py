@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yololite_tpu.models.layers import (
-    ACTS, BasicBlock, CS3Stage, ConvBNAct, ConvNeXtV2Block, Focus, FusedMBConv,
+    BasicBlock, CS3Stage, ConvBNAct, ConvNeXtV2Block, Focus, FusedMBConv,
     HGBlock, MBConv, UIB, make_divisible,
 )
 

@@ -20,7 +20,7 @@ nearest-x2 upsample as repeats (fusible), static shapes everywhere.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

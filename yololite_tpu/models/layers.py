@@ -15,9 +15,7 @@ the "fold BN at inference" deploy trick.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

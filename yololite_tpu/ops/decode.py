@@ -18,7 +18,7 @@ Fully static shapes; everything fuses into the surrounding jit graph.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ DIoU-NMS variant (helpers.py:35-55).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

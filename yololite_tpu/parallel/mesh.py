@@ -18,7 +18,7 @@ idiomatic ceiling; TP/PP would only add latency.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

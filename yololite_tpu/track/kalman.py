@@ -16,7 +16,7 @@ one numpy call per frame instead of a Python loop per track.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ into the jitted train step (no host round-trip per update).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ schedulers.py). We run optax's direction transforms, then scale by
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

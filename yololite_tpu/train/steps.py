@@ -12,9 +12,7 @@ helpers.py:87-153) and additionally returns the val loss metrics.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +23,7 @@ from yololite_tpu.losses import LossConfig, SimOTALoss
 from yololite_tpu.models.detector import YOLOLiteMS, init_model
 from yololite_tpu.ops.decode import decode_anchorfree
 from yololite_tpu.ops.nms import batched_nms, yolo_scores
-from yololite_tpu.parallel.mesh import (data_sharding, replicated_sharding,
-                                        replicate_tree, shard_batch)
+from yololite_tpu.parallel.mesh import replicate_tree, shard_batch
 from yololite_tpu.train.ema import ema_update, ema_warmup_limit
 from yololite_tpu.train.optim import (apply_updates_grouped, build_optimizer,
                                       group_index_tree)
