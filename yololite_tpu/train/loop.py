@@ -52,6 +52,14 @@ def set_seed(seed: int = 1337):
     np.random.seed(seed)
 
 
+def _write_json_atomic(path: str, data):
+    import json
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2)
+    os.replace(tmp, path)
+
+
 def append_csv(path: str, header, row):
     new = not os.path.exists(path)
     with open(path, "a", encoding="utf-8") as f:
@@ -241,6 +249,14 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
 
         lr_now = base_lr * scheduler.lr_factor(epoch + 1, global_step)
         hyper = trainer.hyper
+        # atomic per-epoch metric JSONs (the reference defines these paths but
+        # never writes them — tools/train.py:499-500; implemented here)
+        _write_json_atomic(os.path.join(log_dir, "last_metrics.json"),
+                           {"epoch": epoch + 1, **coco_stats,
+                            "train_loss": avg_train, "val_loss": avg_val})
+        if coco_stats.get(save_by, 0.0) >= max(best_metric, best_metric_no_aug):
+            _write_json_atomic(os.path.join(log_dir, "best_metrics.json"),
+                               {"epoch": epoch + 1, **coco_stats})
         append_csv(os.path.join(log_dir, "metrics.csv"), CSV_HEADER, [
             epoch + 1, coco_stats["AP"], coco_stats["AP50"], coco_stats["AP75"],
             coco_stats["APS"], coco_stats["APM"], coco_stats["APL"],
