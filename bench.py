@@ -12,16 +12,23 @@ edge_n @640, BENCHMARK.md:336; the driver north star in BASELINE.json is
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_S = 5000.0  # BASELINE.json north star: edge_n @640 >= 5k img/s/chip
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 
 def main():
     import jax
+    # persistent XLA compilation cache: first-ever run pays the full compile,
+    # subsequent bench invocations start in seconds
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from yololite_tpu.models.detector import build_model_from_config, init_model
     from yololite_tpu.ops.decode import decode_anchorfree

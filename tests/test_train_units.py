@@ -137,3 +137,19 @@ def test_determinism_same_seed_same_loss():
         _, m = tr.train_step(st, tr.put_batch(batch), tr.lr_vector(1e-3))
         losses.append(float(m["total"]))
     assert losses[0] == losses[1], losses
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from yololite_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint_orbax)
+    params = {"layer": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    bstats = {"bn": {"mean": jnp.zeros(3)}}
+    meta = {"num_classes": 2, "backbone": "x", "img_size": 64, "config": {}}
+    path = save_checkpoint_orbax(str(tmp_path / "ckpt_orbax"), params, bstats,
+                                 meta)
+    sd, m2 = load_checkpoint(path)  # auto-detects the orbax directory format
+    np.testing.assert_allclose(np.asarray(sd["params"]["layer"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    assert m2["num_classes"] == 2

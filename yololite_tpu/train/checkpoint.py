@@ -42,11 +42,46 @@ def save_checkpoint(path: str, params, batch_stats, meta: Dict[str, Any],
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Returns (state_dict, meta)."""
+    """Returns (state_dict, meta). Accepts both the single-file msgpack format
+    and orbax checkpoint directories (see save_checkpoint_orbax)."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     meta = json.loads(payload["meta_json"])
     return payload["state_dict"], meta
+
+
+# --------------------------------------------------------------------------- #
+# Optional orbax backend (SURVEY.md §7: "orbax + the same self-describing meta
+# dict"). The default single-file msgpack format stays primary because it is
+# dependency-free and trivially portable; orbax adds async/sharded multi-host
+# checkpointing for large DP runs.
+# --------------------------------------------------------------------------- #
+
+def save_checkpoint_orbax(path: str, params, batch_stats,
+                          meta: Dict[str, Any]) -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    state = {"params": _to_numpy(params), "batch_stats": _to_numpy(batch_stats)}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, default=str)
+    return path
+
+
+def load_checkpoint_orbax(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
 
 
 def build_meta(config: Dict[str, Any], metrics: Dict[str, float], metric_key: str,
