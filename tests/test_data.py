@@ -154,3 +154,18 @@ def test_weather_effects_change_pixels():
         out = apply_weather(img.copy(), eff, np.random.RandomState(1))
         assert out.shape == img.shape and out.dtype == np.uint8
         assert not np.array_equal(out, img), eff
+
+
+def test_loader_num_workers_threads(ds_root):
+    ds = YoloDataset(os.path.join(ds_root, "valid", "images"),
+                     os.path.join(ds_root, "valid", "labels"),
+                     img_size=64, is_train=False, augment=False)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                    num_workers=3)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    # deterministic image content for the val transform regardless of threads
+    dl0 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    b0 = next(iter(dl0))
+    np.testing.assert_array_equal(batches[0]["image"], b0["image"])

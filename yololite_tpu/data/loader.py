@@ -38,16 +38,23 @@ def collate(samples) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Iterates shuffled (or sequential) fixed-shape batches with prefetch."""
+    """Iterates shuffled (or sequential) fixed-shape batches with prefetch.
+
+    `num_workers` threads fetch samples concurrently inside the prefetch
+    worker (cv2 decode/resize and numpy release the GIL, so threads scale on
+    multi-core hosts — the TPU-side analogue of the reference's DataLoader
+    worker processes, without pickling overhead)."""
 
     def __init__(self, dataset: YoloDataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, prefetch: int = 3):
+                 drop_last: bool = True, seed: int = 0, prefetch: int = 3,
+                 num_workers: int = 0):
         self.ds = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
         self.epoch = 0
 
     def __len__(self):
@@ -70,13 +77,28 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch_batch(chunk, rng):
+            if pool is None:
+                return [self.ds.get(int(i), rng) for i in chunk]
+            # one independent RNG per sample: deterministic under concurrency
+            base = int(rng.randint(0, 2**31 - 1))
+            rngs = [np.random.RandomState((base + 31 * k) % (2**31 - 1))
+                    for k in range(len(chunk))]
+            return list(pool.map(lambda a: self.ds.get(int(a[0]), a[1]),
+                                 zip(chunk, rngs)))
+
         def worker():
             rng = np.random.RandomState((self.seed + self.epoch) * 7919 + 13)
             try:
                 for chunk in self._index_batches():
                     if stop.is_set():
                         return
-                    samples = [self.ds.get(int(i), rng) for i in chunk]
+                    samples = fetch_batch(chunk, rng)
                     nvalid = len(samples)
                     while len(samples) < self.batch_size:  # pad final batch (eval)
                         pad = {k: np.zeros_like(v) for k, v in samples[0].items()}
@@ -98,4 +120,6 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)
         self.epoch += 1

@@ -115,9 +115,12 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
                          max_boxes=max_boxes, use_resize=use_resize, task=task)
+    num_workers = int(tr.get("num_workers", 4) or 0)
     train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
-                              seed=int(tr.get("seed", 1337)))
-    val_loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False)
+                              seed=int(tr.get("seed", 1337)),
+                              num_workers=num_workers)
+    val_loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False,
+                            num_workers=num_workers)
     steps_per_epoch = max(1, len(train_loader))
     total_updates = steps_per_epoch * epochs
 
