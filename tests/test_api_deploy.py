@@ -81,3 +81,19 @@ def test_model_name_resolution():
     assert r["model_yaml"].endswith("edge_n.yaml")
     r = _resolve_model_arg("yololite_m")
     assert "models" in r["model_yaml"]
+
+
+def test_batched_predict_matches_single(trained_run):
+    from yololite_tpu import YoloLite
+    import numpy as np
+    model = YoloLite(trained_run["ckpt"])
+    img_dir = os.path.join(trained_run["root"], "valid", "images")
+    files = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))[:3]]
+    rb = model.predict(files, conf=0.05, batch=True)
+    rs = model.predict(files, conf=0.05, batch=False)
+    assert len(rb) == len(rs) == 3
+    for a, b in zip(rb, rs):
+        assert len(a["boxes"]) == len(b["boxes"])
+        if len(a["boxes"]):
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+            np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)

@@ -127,22 +127,37 @@ class YoloLite:
     def predict(self, source: Union[str, np.ndarray, Sequence], conf: float = 0.25,
                 iou: float = 0.45, max_det: int = 300,
                 img_size: Optional[int] = None, device: Optional[str] = None,
-                draw: bool = False, save_dir: Optional[str] = None,
+                batch: bool = True, draw: bool = False,
+                save_dir: Optional[str] = None,
                 **_ignored) -> List[Dict[str, Any]]:
         import cv2
         pred = self.predictor
         items = self._expand_source(source)
-        results = []
+
+        frames, names = [], []
         for item in items:
             if isinstance(item, str):
                 img_bgr = cv2.imread(item)
                 if img_bgr is None:
                     raise FileNotFoundError(item)
-                name = item
+                frames.append(img_bgr)
+                names.append(item)
             else:
-                img_bgr = np.asarray(item)
-                name = None
-            r = pred.infer_image_profiled(img_bgr, img_size, conf, iou, max_det)
+                frames.append(np.asarray(item))
+                names.append(None)
+
+        # multi-image sources run as ONE batched TPU call (bucketed shapes)
+        if batch and len(frames) > 1 and len({f.shape for f in frames}) >= 1:
+            batched = pred.infer_batch(frames, img_size, conf, iou, max_det)
+        else:
+            batched = None
+
+        results = []
+        for i, (img_bgr, name) in enumerate(zip(frames, names)):
+            if batched is not None:
+                r = batched[i]
+            else:
+                r = pred.infer_image_profiled(img_bgr, img_size, conf, iou, max_det)
             r["source"] = name
             if draw or save_dir:
                 from yololite_tpu.utils.viz import draw_detections

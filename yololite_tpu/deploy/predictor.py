@@ -139,6 +139,67 @@ class Predictor:
                       "total_ms": (t3 - t0) * 1e3},
         }
 
+    def infer_batch(self, frames_bgr, img_size: Optional[int] = None,
+                    conf: float = 0.25, iou: float = 0.45, max_det: int = 300):
+        """Batched inference over a list of BGR frames: ONE jitted call per
+        power-of-2 batch bucket (static shapes), per-image back-mapping.
+        Returns a list of result dicts like infer_image_profiled."""
+        img_size = int(img_size or self.img_size)
+        n = len(frames_bgr)
+        if n == 0:
+            return []
+        t0 = time.perf_counter()
+        canvases, geoms, sizes = [], [], []
+        for f in frames_bgr:
+            rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+            canvas, geom = self.preprocess(rgb, img_size)
+            canvases.append(canvas)
+            geoms.append(geom)
+            sizes.append(f.shape[:2])
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        batch = np.zeros((bucket, img_size, img_size, 3), np.uint8)
+        batch[:n] = np.stack(canvases)
+        t1 = time.perf_counter()
+
+        fn = self._infer_fn(img_size, conf, iou, max_det)
+        out = jax.block_until_ready(fn(self.variables, jnp.asarray(batch)))
+        with_masks = len(out) == 5
+        boxes, scores, classes, valid = (np.asarray(x) for x in out[:4])
+        t2 = time.perf_counter()
+
+        results = []
+        per_pre = (t1 - t0) * 1e3 / n
+        per_inf = (t2 - t1) * 1e3 / n
+        for i in range(n):
+            m = valid[i]
+            (scale, px, py), (h, w) = geoms[i], sizes[i]
+            b = unletterbox_boxes(boxes[i][m], scale, px, py, w, h)
+            masks_out = None
+            if with_masks:
+                pm = np.asarray(out[4][i])[m]
+                if len(pm):
+                    hp = pm.shape[1]
+                    r = hp / float(img_size)
+                    ya, xa = int(round(py * r)), int(round(px * r))
+                    yb = int(round((img_size - py) * r))
+                    xb = int(round((img_size - px) * r))
+                    crop = pm[:, ya:max(ya + 1, yb), xa:max(xa + 1, xb)]
+                    masks_out = np.stack([
+                        (cv2.resize(cm, (w, h)) > 0.5).astype(np.uint8)
+                        for cm in crop])
+                else:
+                    masks_out = np.zeros((0, h, w), np.uint8)
+            results.append({
+                "boxes": b, "scores": scores[i][m], "classes": classes[i][m],
+                "masks": masks_out, "names": self.names,
+                "speed": {"preprocess_ms": per_pre, "inference_ms": per_inf,
+                          "postprocess_ms": 0.0,
+                          "total_ms": per_pre + per_inf},
+            })
+        return results
+
     def warmup(self, img_size: Optional[int] = None, conf: float = 0.25,
                iou: float = 0.45, max_det: int = 300):
         img_size = int(img_size or self.img_size)
