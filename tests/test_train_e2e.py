@@ -121,3 +121,31 @@ def test_checkpoint_roundtrip_and_resume(toy_data, tmp_path):
     cfg2["training"]["resume"] = ckpt
     results = train_from_config(cfg2)
     assert os.path.exists(os.path.join(run_dir2, "weights", "last_model_state.ckpt"))
+
+
+def test_full_state_resume(toy_data, tmp_path):
+    """save_optimizer: true writes EMA + Adam state; resume restores exactly
+    (TPU extra over the reference's weights-only resume)."""
+    from yololite_tpu.train.checkpoint import load_checkpoint
+    from yololite_tpu.train.loop import train_from_config
+
+    run_dir = str(tmp_path / "full_a")
+    cfg = _toy_config(toy_data, run_dir, epochs=1)
+    cfg["training"]["save_optimizer"] = True
+    train_from_config(cfg)
+    ckpt = os.path.join(run_dir, "weights", "last_model_state.ckpt")
+    sd, _ = load_checkpoint(ckpt)
+    assert "opt_state" in sd and "ema_params" in sd
+    assert int(np.asarray(sd["updates"])) > 0
+
+    # resume picks up the optimizer state and the update counter
+    from yololite_tpu.models.detector import build_model_from_config
+    from yololite_tpu.train.steps import Trainer
+    import jax.numpy as jnp
+    model = build_model_from_config(cfg, dtype=jnp.float32)
+    tr = Trainer(model, cfg, total_updates=100)
+    st = tr.state_from_full(sd)
+    assert int(st.updates) == int(np.asarray(sd["updates"]))
+    leaves = [l for l in __import__("jax").tree.leaves(st.opt_state)
+              if hasattr(l, "size") and l.size > 1]
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)  # adam moments restored

@@ -140,8 +140,14 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     resume = tr.get("resume")
     if resume:
         sd, _meta = load_checkpoint(resume)
-        state = trainer.state_from_weights(sd["params"], sd["batch_stats"])
-        print(f"Resumed weights from {resume} (fresh EMA/optimizer)")
+        if "opt_state" in sd or "ema_params" in sd:
+            # exact resume (checkpoint written with save_optimizer: true)
+            state = trainer.state_from_full(sd)
+            print(f"Resumed FULL state (EMA/optimizer) from {resume}")
+        else:
+            state = trainer.state_from_weights(sd["params"], sd["batch_stats"])
+            print(f"Resumed weights from {resume} (fresh EMA/optimizer — "
+                  f"reference semantics)")
 
     scheduler = build_scheduler(config, steps_per_epoch)
     base_lr = float(tr.get("lr", 1e-3))
@@ -285,8 +291,15 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         if (epoch + 1) % save_every == 0:
             save_checkpoint(os.path.join(weight_dir, f"epoch_{epoch + 1}.ckpt"),
                             variables["params"], variables["batch_stats"], meta)
+        extra = None
+        if bool(tr.get("save_optimizer", False)):
+            from flax import serialization as _ser
+            extra = {"ema_params": state.ema_params,
+                     "ema_batch_stats": state.ema_batch_stats,
+                     "updates": state.updates,
+                     "opt_state": _ser.to_state_dict(state.opt_state)}
         save_checkpoint(last_ckpt, variables["params"], variables["batch_stats"],
-                        meta)
+                        meta, extra_state=extra)
         _save_loss_curve(train_losses, val_losses,
                          os.path.join(log_dir, "loss_curve.png"))
 

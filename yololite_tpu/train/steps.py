@@ -100,6 +100,38 @@ class Trainer:
         """Resume: load weights, fresh EMA/optimizer (train.py:293-297 parity)."""
         return self._make_state(params, batch_stats)
 
+    def state_full(self) -> dict:
+        """Serializable full-state dict for exact resume (TPU extra: the
+        reference's resume is weights-only and loses optimizer/EMA state)."""
+        return {}
+
+    def state_from_full(self, state_dict) -> TrainState:
+        """Exact resume from a checkpoint saved with save_optimizer=True:
+        restores EMA and Adam moments; falls back to fresh state for missing
+        pieces."""
+        st = self._make_state(state_dict["params"], state_dict["batch_stats"])
+        ema_p = state_dict.get("ema_params")
+        ema_bs = state_dict.get("ema_batch_stats")
+        updates = state_dict.get("updates")
+        repl = {}
+        if ema_p is not None:
+            repl["ema_params"] = jax.tree.map(jnp.asarray, ema_p)
+        if ema_bs is not None:
+            repl["ema_batch_stats"] = jax.tree.map(jnp.asarray, ema_bs)
+        if updates is not None:
+            repl["updates"] = jnp.asarray(np.asarray(updates), jnp.int32)
+        opt = state_dict.get("opt_state")
+        if opt is not None:
+            try:
+                from flax import serialization
+                repl["opt_state"] = serialization.from_state_dict(
+                    st.opt_state, opt)
+            except Exception:
+                pass  # optimizer layout changed; keep fresh opt state
+        if repl:
+            st = st.replace(**repl)
+        return replicate_tree(st, self.mesh)
+
     def lr_vector(self, lr: float, freeze_backbone: bool = False) -> jnp.ndarray:
         """Absolute per-group LRs [backbone, neck, head] for this step."""
         bb = 0.0 if freeze_backbone else lr * self.hyper["bb_mult"]
