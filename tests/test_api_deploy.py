@@ -97,3 +97,30 @@ def test_batched_predict_matches_single(trained_run):
         if len(a["boxes"]):
             np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
             np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+
+
+def test_video_tracking_integration(trained_run, tmp_path):
+    """Predictor + KalmanSortTracker over a synthetic moving-object video
+    (the onnx_tracking.py composition, in-process)."""
+    import cv2
+    import numpy as np
+    from yololite_tpu.deploy.predictor import Predictor
+    from yololite_tpu.track import KalmanSortTracker
+
+    pred = Predictor(trained_run["ckpt"])
+    tracker = KalmanSortTracker(min_hits=1, iou_threshold=0.2)
+
+    ids_seen = set()
+    n_frames_with_tracks = 0
+    for t in range(8):
+        frame = (np.random.RandomState(t).rand(96, 96, 3) * 40).astype(np.uint8)
+        x = 8 + 6 * t
+        frame[30:60, x:x + 30] = (30, 30, 220)  # moving red box (BGR)
+        boxes, scores, classes = pred.infer_image(frame, conf=0.05)
+        tracks = tracker.update(boxes, scores, classes)
+        if tracks:
+            n_frames_with_tracks += 1
+            ids_seen.update(tr["track_id"] for tr in tracks)
+    # the detector is weakly trained; require only that the composition runs
+    # and, when it detects, produces stable ids
+    assert n_frames_with_tracks == 0 or len(ids_seen) <= 3
