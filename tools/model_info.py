@@ -13,7 +13,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_CPU_FORCED = False
+
+
+def _force_cpu():
+    """Cost analysis needs the CPU backend (some TPU plugins report no flops)."""
+    global _CPU_FORCED
+    if not _CPU_FORCED:
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        _CPU_FORCED = True
+
+
 def analyze(model_yaml, img_size=640, num_classes=3):
+    _force_cpu()
     import jax
     import jax.numpy as jnp
     import yaml
