@@ -92,7 +92,7 @@ def main():
                                        d["cls"].astype(jnp.float32))
                     return batched_nms(d["box"].astype(jnp.float32), s, c,
                                        iou_th=0.65, conf_th=0.25, max_det=100,
-                                       pre_nms_topk=512)
+                                       pre_nms_topk=256)
                 x = jnp.zeros((B, args.img_size, args.img_size, 3), jnp.uint8)
                 for _ in range(3):
                     jax.block_until_ready(infer(pred.variables, x))

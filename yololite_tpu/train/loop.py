@@ -124,12 +124,15 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     steps_per_epoch = max(1, len(train_loader))
     total_updates = steps_per_epoch * epochs
 
-    # device mesh: data-parallel over all (or requested) devices
-    n_dp = tr.get("data_parallel", None)
-    n_dev = len(jax.devices())
+    # device mesh: data-parallel over all (or the requested number of) devices
+    n_dp = int(tr.get("data_parallel") or len(jax.devices()))
     mesh = None
-    if (n_dp or n_dev) and (n_dp or n_dev) > 1 and batch_size % (n_dp or n_dev) == 0:
-        mesh = make_mesh(n_dp)
+    if n_dp > 1:
+        if batch_size % n_dp == 0:
+            mesh = make_mesh(n_dp)
+        else:
+            print(f"[dp] batch_size {batch_size} not divisible by {n_dp} "
+                  f"devices — running single-device")
 
     # bf16 compute when amp enabled (reference CUDA AMP -> TPU bf16)
     dtype = jnp.bfloat16 if bool(tr.get("amp", True)) else jnp.float32
