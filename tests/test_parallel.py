@@ -138,3 +138,23 @@ def test_grad_accumulation_equivalence():
                 for a, b in zip(jax.tree.leaves(sa.params),
                                 jax.tree.leaves(sb.params)))
     assert moved
+
+
+def test_dp_segmentation_train_step():
+    """Segmentation batches (GT masks) shard over the mesh like boxes."""
+    from yololite_tpu.models.detector import build_model_from_config
+    cfg = _tiny_cfg()
+    cfg["model"] = dict(cfg["model"], with_masks=True, num_prototypes=8)
+    mesh = make_mesh(8)
+    model = build_model_from_config(cfg, dtype=jnp.float32)
+    tr = Trainer(model, cfg, total_updates=10, mesh=mesh)
+    state = tr.init_state(seed=0)
+    b = _batch(8)
+    ps = 8  # 32px / proto stride 4
+    rng = np.random.RandomState(0)
+    b["masks"] = (rng.rand(8, 4, ps, ps) > 0.5).astype(np.uint8)
+    db = tr.put_batch(b)
+    assert "masks" in db
+    state, m = tr.train_step(state, db, tr.lr_vector(1e-3))
+    assert np.isfinite(float(m["total"]))
+    assert "mask" in m  # mask loss reported
