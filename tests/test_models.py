@@ -1,5 +1,6 @@
 """Model layer tests: shapes, strides, bias init, P2/P6 options, param counts."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,3 +93,27 @@ def test_train_mode_updates_batch_stats():
     leaves_after = jax.tree.leaves(mutated["batch_stats"])
     changed = any(not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after))
     assert changed
+
+
+def test_entire_config_zoo_builds_and_forwards():
+    """Every shipped model YAML builds and runs a forward pass (config typos,
+    channel mismatches, and P2/P6 interactions surface here)."""
+    import glob
+    import yaml
+    import jax.numpy as jnp
+    from yololite_tpu.models.detector import build_model_from_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yamls = sorted(glob.glob(os.path.join(root, "configs", "models", "*.yaml")) +
+                   glob.glob(os.path.join(root, "configs", "v2_models", "*.yaml")) +
+                   glob.glob(os.path.join(root, "configs", "custom", "custom.yaml")))
+    assert len(yamls) >= 15
+    for path in yamls:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        cfg.setdefault("model", {})["num_classes"] = 2
+        cfg.setdefault("training", {})["img_size"] = 64
+        model = build_model_from_config(cfg, dtype=jnp.float32)
+        params, outs = _forward(model, img=64)
+        got = outs[0] if model.with_masks else outs
+        assert len(got) == len(model.get_strides()), path
