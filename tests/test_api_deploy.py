@@ -124,3 +124,18 @@ def test_video_tracking_integration(trained_run, tmp_path):
     # the detector is weakly trained; require only that the composition runs
     # and, when it detects, produces stable ids
     assert n_frames_with_tracks == 0 or len(ids_seen) <= 3
+
+
+def test_finetune_from_checkpoint(trained_run, tmp_path):
+    """YoloLite(ckpt).train() fine-tunes: config rebuilt from meta + resume."""
+    from yololite_tpu import YoloLite
+    model = YoloLite(trained_run["ckpt"])
+    r = model.train(data=trained_run["data"], epochs=1, batch_size=8,
+                    img_size=96, workers=0,
+                    run_dir=str(tmp_path / "ft"),
+                    scheduler="cosine", save_by="AP50", max_boxes=20,
+                    amp=False, ema=True, ema_decay=0.9, augment=False)
+    assert os.path.exists(os.path.join(r["log_dir"], "weights",
+                                       "last_model_state.ckpt"))
+    # model now points at the fine-tuned weights
+    assert "ft" in model._src["ckpt"]

@@ -90,3 +90,12 @@ def test_letterbox_image_padding_value():
     assert canvas[0, 0, 0] == 114  # pad rows top
     ny = int(round(100 * scale))
     assert canvas[py + ny // 2, 32, 0] == 50  # image content
+
+
+def test_unletterbox_per_axis_scale():
+    """Plain-resize path on non-square inputs: per-axis (sx, sy) back-mapping."""
+    w, h, s = 400, 200, 100
+    sx, sy = s / w, s / h
+    boxes_canvas = np.array([[25.0, 50.0, 75.0, 100.0]])  # canvas coords
+    back = unletterbox_boxes(boxes_canvas, (sx, sy), 0, 0, w, h)
+    np.testing.assert_allclose(back, [[100.0, 100.0, 300.0, 199.0]], atol=1e-4)

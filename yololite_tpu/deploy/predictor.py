@@ -75,12 +75,13 @@ class Predictor:
 
     # ------------------------------------------------------------------ #
     def preprocess(self, img_rgb: np.ndarray, img_size: int):
+        """Returns (canvas, ((sx, sy), pad_x, pad_y)); letterbox is uniform,
+        plain resize is per-axis (non-square inputs back-map correctly)."""
         if self.use_letterbox:
             canvas, scale, px, py = letterbox_image(img_rgb, img_size)
-        else:
-            canvas, sx, sy = resize_image(img_rgb, img_size)
-            scale, px, py = sx, 0, 0  # note: non-uniform when h != w
-        return canvas, (scale, px, py)
+            return canvas, ((scale, scale), px, py)
+        canvas, sx, sy = resize_image(img_rgb, img_size)
+        return canvas, ((sx, sy), 0, 0)
 
     def infer_image(self, img_bgr: np.ndarray, img_size: Optional[int] = None,
                     conf: float = 0.25, iou: float = 0.45, max_det: int = 300

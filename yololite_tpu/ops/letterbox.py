@@ -77,13 +77,17 @@ def forward_boxes(boxes_xyxy: np.ndarray, scale: float, pad_x: int, pad_y: int) 
     return b
 
 
-def unletterbox_boxes(boxes_xyxy: np.ndarray, scale: float, pad_x: float, pad_y: float,
+def unletterbox_boxes(boxes_xyxy: np.ndarray, scale, pad_x: float, pad_y: float,
                       orig_w: int, orig_h: int) -> np.ndarray:
     """Map letterboxed-canvas boxes back to original pixels and clip
-    (parity with tools/infer.py:507-516)."""
+    (parity with tools/infer.py:507-516).
+
+    `scale` may be a single float (letterbox: uniform) or an (sx, sy) pair
+    (plain-resize path on non-square inputs)."""
+    sx, sy = (scale if isinstance(scale, (tuple, list)) else (scale, scale))
     b = np.asarray(boxes_xyxy, dtype=np.float32).copy()
-    b[..., [0, 2]] = (b[..., [0, 2]] - pad_x) / max(scale, 1e-12)
-    b[..., [1, 3]] = (b[..., [1, 3]] - pad_y) / max(scale, 1e-12)
+    b[..., [0, 2]] = (b[..., [0, 2]] - pad_x) / max(sx, 1e-12)
+    b[..., [1, 3]] = (b[..., [1, 3]] - pad_y) / max(sy, 1e-12)
     b[..., [0, 2]] = b[..., [0, 2]].clip(0, orig_w - 1)
     b[..., [1, 3]] = b[..., [1, 3]].clip(0, orig_h - 1)
     return b
