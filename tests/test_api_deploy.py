@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.test_train_e2e import make_toy_dataset, _toy_config
 
 

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_multiscale_training(tmp_path, tmp_path_factory):
     from tests.test_train_e2e import make_toy_dataset, _toy_config

@@ -104,6 +104,7 @@ def test_seg_dataset_masks(seg_data):
             assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
 
 
+@pytest.mark.slow
 def test_seg_training_and_predict(seg_data, tmp_path):
     from yololite_tpu.train.loop import train_from_config
     from yololite_tpu.config import load_configs

@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import cv2
 import yaml
 
@@ -149,3 +151,76 @@ def test_full_state_resume(toy_data, tmp_path):
     leaves = [l for l in __import__("jax").tree.leaves(st.opt_state)
               if hasattr(l, "size") and l.size > 1]
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)  # adam moments restored
+    # the restored live params must be the RAW training weights, not the EMA copy
+    import jax
+    flat_live = jax.tree.leaves(st.params)
+    flat_raw = jax.tree.leaves(jax.tree.map(np.asarray, sd["raw_params"]))
+    flat_ema = jax.tree.leaves(jax.tree.map(np.asarray, sd["ema_params"]))
+    assert all(np.allclose(a, b) for a, b in zip(flat_live, flat_raw))
+    assert any(not np.allclose(a, b) for a, b in zip(flat_live, flat_ema))
+
+
+def test_exact_resume_matches_uninterrupted_trajectory(toy_data, tmp_path):
+    """Train 2N steps straight vs N steps -> full checkpoint -> resume -> N
+    steps: the two trajectories must produce identical losses step-for-step
+    (VERDICT r1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+    from yololite_tpu.models.detector import build_model_from_config
+    from yololite_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from yololite_tpu.train.steps import Trainer
+    from flax import serialization as ser
+
+    cfg = _toy_config(toy_data, str(tmp_path), epochs=1, img_size=64)
+    cfg["model"]["fpn_channels"] = 32
+    rng = np.random.RandomState(0)
+    n_steps = 3
+
+    def fixed_batch(i):
+        r = np.random.RandomState(100 + i)
+        return {
+            "image": (r.rand(4, 64, 64, 3) * 255).astype(np.uint8),
+            "boxes": np.tile(np.array([[6, 6, 36, 36]], np.float32), (4, 8, 1)),
+            "labels": np.zeros((4, 8), np.int32),
+            "mask": np.tile(np.array([True] + [False] * 7), (4, 1)),
+        }
+
+    def new_trainer():
+        model = build_model_from_config(cfg, dtype=jnp.float32)
+        return Trainer(model, cfg, total_updates=2 * n_steps)
+
+    # A: uninterrupted 2N steps
+    tr_a = new_trainer()
+    state_a = tr_a.init_state(seed=0)
+    losses_a = []
+    for i in range(2 * n_steps):
+        state_a, m = tr_a.train_step(state_a, tr_a.put_batch(fixed_batch(i)),
+                                     tr_a.lr_vector(3e-3))
+        losses_a.append(float(m["total"]))
+
+    # B: N steps, full checkpoint, fresh Trainer, resume, N more steps
+    tr_b = new_trainer()
+    state_b = tr_b.init_state(seed=0)
+    for i in range(n_steps):
+        state_b, m = tr_b.train_step(state_b, tr_b.put_batch(fixed_batch(i)),
+                                     tr_b.lr_vector(3e-3))
+        assert np.isclose(float(m["total"]), losses_a[i], rtol=1e-5)
+    ckpt = str(tmp_path / "mid.ckpt")
+    save_checkpoint(ckpt, tr_b.ema_variables(state_b)["params"],
+                    tr_b.ema_variables(state_b)["batch_stats"],
+                    {"num_classes": 2},
+                    extra_state={"raw_params": state_b.params,
+                                 "raw_batch_stats": state_b.batch_stats,
+                                 "ema_params": state_b.ema_params,
+                                 "ema_batch_stats": state_b.ema_batch_stats,
+                                 "updates": state_b.updates,
+                                 "micro": state_b.micro,
+                                 "opt_state": ser.to_state_dict(state_b.opt_state)})
+    sd, _ = load_checkpoint(ckpt)
+    tr_c = new_trainer()
+    state_c = tr_c.state_from_full(sd)
+    for i in range(n_steps, 2 * n_steps):
+        state_c, m = tr_c.train_step(state_c, tr_c.put_batch(fixed_batch(i)),
+                                     tr_c.lr_vector(3e-3))
+        assert np.isclose(float(m["total"]), losses_a[i], rtol=1e-5), (
+            f"step {i}: resumed {float(m['total'])} != straight {losses_a[i]}")

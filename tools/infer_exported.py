@@ -88,9 +88,14 @@ def main():
     t2 = time.perf_counter()
 
     if fmt == "nms":
+        # iou/max_det were baked into the artifact at export time; --conf is
+        # still honored with a host-side score filter on the unpacked outputs.
         b, s, c, v = (np.asarray(x) for x in out[:4])
-        m = v[0]
+        m = v[0] & (s[0] >= args.conf)
         boxes, scores, classes = b[0][m], s[0][m], c[0][m]
+        if args.iou != ap.get_default("iou"):
+            print(f"[warn] --iou is fixed at export time for 'nms' artifacts "
+                  f"(artifact iou={meta.get('iou_th')})")
     elif fmt == "decoded":
         boxes, scores, classes = postprocess_decoded(out, args.conf, args.iou,
                                                      args.max_det)

@@ -147,7 +147,7 @@ class YoloLite:
                 names.append(None)
 
         # multi-image sources run as ONE batched TPU call (bucketed shapes)
-        if batch and len(frames) > 1 and len({f.shape for f in frames}) >= 1:
+        if batch and len(frames) > 1:
             batched = pred.infer_batch(frames, img_size, conf, iou, max_det)
         else:
             batched = None

@@ -37,6 +37,13 @@ def collate(samples) -> Dict[str, np.ndarray]:
     return out
 
 
+class _WorkerError:
+    """Exception captured in the prefetch worker, re-raised in the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Iterates shuffled (or sequential) fixed-shape batches with prefetch.
 
@@ -107,6 +114,8 @@ class DataLoader:
                     batch = collate(samples)
                     batch["nvalid"] = np.int32(nvalid)
                     q.put(batch)
+            except BaseException as e:  # propagate to the consumer, don't
+                q.put(_WorkerError(e))  # silently truncate the epoch
             finally:
                 q.put(None)
 
@@ -117,6 +126,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _WorkerError):
+                    raise RuntimeError("DataLoader worker failed") from batch.exc
                 yield batch
         finally:
             stop.set()

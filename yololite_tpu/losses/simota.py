@@ -310,9 +310,12 @@ class SimOTALoss:
 
     def __call__(self, preds_levels: Sequence[jnp.ndarray],
                  targets: Dict[str, jnp.ndarray], protos: jnp.ndarray = None,
-                 img_size: int = None):
+                 img_size: int = None, img_valid: jnp.ndarray = None):
         """`img_size` overrides cfg.img_size (multi-scale training: one traced
-        graph per size, the radius/area gates scale with the actual input)."""
+        graph per size, the radius/area gates scale with the actual input).
+        `img_valid` [B] bool zeroes the contribution of padding images in a
+        padded final eval batch (their top-K hard-negative obj loss would
+        otherwise skew the reported val loss)."""
         cfg = self.cfg
         if img_size is not None and int(img_size) != cfg.img_size:
             cfg = dataclasses.replace(cfg, img_size=int(img_size))
@@ -338,6 +341,10 @@ class SimOTALoss:
             decoded, gt_boxes, gt_labels, gt_mask, strides)
 
         B = gt_boxes.shape[0]
+        if img_valid is not None:
+            w = img_valid.astype(lb.dtype)
+            lb, lo, lc = lb * w, lo * w, lc * w
+            has_pos = has_pos * w
         loss_box = cfg.lambda_box * jnp.sum(lb)
         loss_obj = cfg.lambda_obj * jnp.sum(lo)
         loss_cls = cfg.lambda_cls * jnp.sum(lc)

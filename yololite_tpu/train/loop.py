@@ -297,9 +297,16 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         extra = None
         if bool(tr.get("save_optimizer", False)):
             from flax import serialization as _ser
-            extra = {"ema_params": state.ema_params,
+            # top-level "params" are the deployed EMA weights; exact resume
+            # additionally needs the RAW training weights the Adam moments
+            # belong to (raw_params/raw_batch_stats), restored by
+            # Trainer.state_from_full.
+            extra = {"raw_params": state.params,
+                     "raw_batch_stats": state.batch_stats,
+                     "ema_params": state.ema_params,
                      "ema_batch_stats": state.ema_batch_stats,
                      "updates": state.updates,
+                     "micro": state.micro,
                      "opt_state": _ser.to_state_dict(state.opt_state)}
         save_checkpoint(last_ckpt, variables["params"], variables["batch_stats"],
                         meta, extra_state=extra)

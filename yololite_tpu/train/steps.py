@@ -100,16 +100,15 @@ class Trainer:
         """Resume: load weights, fresh EMA/optimizer (train.py:293-297 parity)."""
         return self._make_state(params, batch_stats)
 
-    def state_full(self) -> dict:
-        """Serializable full-state dict for exact resume (TPU extra: the
-        reference's resume is weights-only and loses optimizer/EMA state)."""
-        return {}
-
     def state_from_full(self, state_dict) -> TrainState:
         """Exact resume from a checkpoint saved with save_optimizer=True:
-        restores EMA and Adam moments; falls back to fresh state for missing
-        pieces."""
-        st = self._make_state(state_dict["params"], state_dict["batch_stats"])
+        restores the RAW training weights (saved as raw_params/raw_batch_stats
+        — the checkpoint's top-level "params" are the deployed EMA copy), the
+        EMA copies, the Adam moments and the update counter; falls back to
+        fresh state for missing pieces."""
+        raw_p = state_dict.get("raw_params", state_dict["params"])
+        raw_bs = state_dict.get("raw_batch_stats", state_dict["batch_stats"])
+        st = self._make_state(raw_p, raw_bs)
         ema_p = state_dict.get("ema_params")
         ema_bs = state_dict.get("ema_batch_stats")
         updates = state_dict.get("updates")
@@ -120,6 +119,8 @@ class Trainer:
             repl["ema_batch_stats"] = jax.tree.map(jnp.asarray, ema_bs)
         if updates is not None:
             repl["updates"] = jnp.asarray(np.asarray(updates), jnp.int32)
+            repl["micro"] = jnp.asarray(np.asarray(
+                state_dict.get("micro", updates)), jnp.int32)
         opt = state_dict.get("opt_state")
         if opt is not None:
             try:
@@ -143,6 +144,8 @@ class Trainer:
         if "masks" in batch:  # instance-segmentation GT masks [B,M,Hp,Wp]
             keys.append("masks")
         keep = {k: batch[k] for k in keys}
+        if "image_id" in batch:  # padding images (id -1) are masked out of
+            keep["img_valid"] = np.asarray(batch["image_id"]) >= 0  # val loss
         return shard_batch(keep, self.mesh)
 
     def _forward_train(self, params, batch_stats, x):
@@ -267,7 +270,8 @@ class Trainer:
         if "masks" in batch:
             targets["masks"] = batch["masks"]
         img_size = int(batch["image"].shape[1])
-        total, metrics = self.loss(outs, targets, protos, img_size=img_size)
+        total, metrics = self.loss(outs, targets, protos, img_size=img_size,
+                                   img_valid=batch.get("img_valid"))
         dets = self._detect(outs, protos, conf_th, iou_th, max_det, img_size)
         metrics = dict(metrics)
         metrics["total"] = total
