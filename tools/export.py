@@ -26,18 +26,44 @@ def main():
     ap.add_argument("--max_det", type=int, default=300)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--fp32", action="store_true", help="export in fp32 (default bf16)")
+    ap.add_argument("--runtime", default="stablehlo",
+                    choices=["stablehlo", "tflite", "onnx"],
+                    help="stablehlo: TPU/JAX artifact; tflite: self-contained "
+                         "host-CPU flatbuffer; onnx: opset-17 ONNX for "
+                         "onnxruntime CPU deploy")
+    ap.add_argument("--quantize", default=None, choices=[None, "dynamic", "fp16"],
+                    help="tflite only: dynamic-range int8 weights or fp16")
     args = ap.parse_args()
 
     import jax.numpy as jnp
-    from yololite_tpu.deploy.export import export_model, load_exported
+    from yololite_tpu.deploy.export import (export_model, export_onnx,
+                                            export_tflite, load_exported)
 
-    path = export_model(args.weights, out_dir=args.out_dir, fmt=args.format,
-                        batch=args.batch, img_size=args.img_size,
-                        conf=args.conf, iou=args.iou, max_det=args.max_det,
-                        dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    if args.runtime == "tflite":
+        path = export_tflite(args.weights, out_dir=args.out_dir, fmt=args.format,
+                             batch=args.batch, img_size=args.img_size,
+                             conf=args.conf, iou=args.iou, max_det=args.max_det,
+                             quantize=args.quantize)
+    elif args.runtime == "onnx":
+        path = export_onnx(args.weights, out_dir=args.out_dir, fmt=args.format,
+                           batch=args.batch, img_size=args.img_size,
+                           conf=args.conf, iou=args.iou, max_det=args.max_det)
+    else:
+        path = export_model(args.weights, out_dir=args.out_dir, fmt=args.format,
+                            batch=args.batch, img_size=args.img_size,
+                            conf=args.conf, iou=args.iou, max_det=args.max_det,
+                            dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     # load-back sanity run (reference export dry-run parity)
     import numpy as np
-    call, meta = load_exported(path)
+    if args.runtime == "onnx":
+        from yololite_tpu.deploy.onnx_runtime import OnnxGraphExecutor
+        call = OnnxGraphExecutor.from_file(path)
+        meta = {"img_size": args.img_size or 640}
+        if os.path.exists(path + ".json"):
+            import json
+            meta = json.load(open(path + ".json"))
+    else:
+        call, meta = load_exported(path)
     x = np.zeros((args.batch, meta["img_size"], meta["img_size"], 3), np.uint8)
     out = call(x)
     print(f"Exported {args.format} artifact -> {path}")

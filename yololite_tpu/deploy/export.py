@@ -97,7 +97,10 @@ def export_model(weights: str, out_dir: Optional[str] = None,
 
 
 def load_exported(art_path: str):
-    """Load a serialized artifact; returns (callable(images_u8), meta dict)."""
+    """Load a serialized artifact; returns (callable(images_u8), meta dict).
+    Dispatches on extension: .tflite -> host-CPU TFLite, else StableHLO."""
+    if art_path.endswith(".tflite"):
+        return load_tflite(art_path)
     from jax import export as jax_export
     with open(art_path, "rb") as f:
         exported = jax_export.deserialize(f.read())
@@ -108,13 +111,150 @@ def load_exported(art_path: str):
     return exported.call, meta
 
 
-def export_onnx(weights: str, out_dir: Optional[str] = None, **kw) -> str:
-    """ONNX export for CPU deploy parity — requires `onnx` (absent here)."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "onnx is not available in this environment; use the StableHLO "
-            "artifact (export_model) for deployment, or install onnx + a "
-            "jax->onnx converter for CPU parity export.") from e
-    raise NotImplementedError("ONNX path requires a jax2onnx converter")
+# --------------------------------------------------------------------------- #
+# CPU-portable export: TFLite / TF SavedModel via jax2tf.
+#
+# This is the TPU-native answer to the reference's ONNX-on-CPU deploy story
+# (export/export_onnx.py:179-332, tools/infer_onnx.py:143-233): the jitted
+# forward(+decode[+NMS]) graph is lowered through jax2tf into a TensorFlow
+# graph and compiled to a TFLite flatbuffer — a fully self-contained artifact
+# that runs on any host CPU (XNNPACK) with zero JAX/TPU dependency, covering
+# the same raw/decoded/nms duality. ONNX emission lives in deploy/onnx.py.
+# --------------------------------------------------------------------------- #
+
+def _tf_module_for(fn, variables, batch: int, img_size: int, out_names):
+    """Wrap a jax fn as a tf.Module with a named serving signature."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = jax2tf.convert(lambda images: fn(variables, images),
+                           native_serialization=False)
+
+    class Wrapper(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec((batch, img_size, img_size, 3), tf.uint8,
+                          name="images")])
+        def serve(self, images):
+            out = tf_fn(images)
+            if isinstance(out, dict):  # keys survive jax2tf; don't re-zip —
+                return {k: tf.identity(v, name=k) for k, v in out.items()}
+            return {n: tf.identity(t, name=n)     # jax pytrees sort dict keys
+                    for n, t in zip(out_names, list(out))}
+
+    return Wrapper()
+
+
+_OUT_NAMES = {
+    "raw": None,  # filled per-model: level_0..level_{L-1}
+    "decoded": ["boxes_xyxy", "obj_logits", "cls_logits"],
+    "nms": ["boxes", "scores", "classes", "valid"],
+}
+
+
+def export_tflite(weights: str, out_dir: Optional[str] = None,
+                  fmt: str = "decoded", batch: int = 1,
+                  img_size: Optional[int] = None, conf: float = 0.001,
+                  iou: float = 0.65, max_det: int = 300,
+                  quantize: Optional[str] = None,
+                  keep_saved_model: bool = False) -> str:
+    """Export a checkpoint to a TFLite flatbuffer (CPU deploy artifact).
+
+    quantize: None | "dynamic" (dynamic-range int8 weights) | "fp16".
+    Returns the .tflite path; a meta.json sidecar sits next to it.
+    """
+    import tempfile
+
+    import tensorflow as tf
+
+    sd, meta = load_checkpoint(weights)
+    model = model_from_meta(meta, dtype=jnp.float32)  # fp32 graph for CPU
+    img_size = int(img_size or meta.get("img_size", 640))
+    variables = {"params": jax.tree.map(jnp.asarray, sd["params"]),
+                 "batch_stats": jax.tree.map(jnp.asarray, sd["batch_stats"])}
+
+    fn = _build_fn(model, img_size, fmt, conf, iou, max_det)
+    if fmt == "raw":
+        n_levels = len(jax.eval_shape(
+            lambda v, im: fn(v, im), variables,
+            jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.uint8)))
+        out_names = [f"level_{i}" for i in range(n_levels)]
+    else:
+        out_names = list(_OUT_NAMES[fmt])
+
+    module = _tf_module_for(fn, variables, batch, img_size, out_names)
+
+    out_dir = out_dir or os.path.dirname(os.path.abspath(weights))
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(weights))[0]
+
+    sm_dir = (os.path.join(out_dir, f"{stem}_{fmt}_savedmodel")
+              if keep_saved_model else tempfile.mkdtemp(prefix="ylt_sm_"))
+    tf.saved_model.save(module, sm_dir,
+                        signatures={"serving_default": module.serve})
+
+    converter = tf.lite.TFLiteConverter.from_saved_model(sm_dir)
+    converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                           tf.lite.OpsSet.SELECT_TF_OPS]
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "fp16":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    blob = converter.convert()
+
+    art_path = os.path.join(out_dir, f"{stem}_{fmt}.tflite")
+    with open(art_path, "wb") as f:
+        f.write(blob)
+    with open(art_path + ".json", "w") as f:
+        json.dump({"format": fmt, "img_size": img_size, "batch": batch,
+                   "conf": conf, "iou": iou, "max_det": max_det,
+                   "names": meta.get("names"),
+                   "num_classes": meta.get("num_classes"),
+                   "outputs": out_names, "quantize": quantize,
+                   "letterbox": True, "normalize": "imagenet/in-graph",
+                   "runtime": "tflite",
+                   "source_ckpt": os.path.abspath(weights)}, f, indent=2)
+    if not keep_saved_model:
+        import shutil
+        shutil.rmtree(sm_dir, ignore_errors=True)
+    return art_path
+
+
+def load_tflite(art_path: str):
+    """Load a .tflite artifact; returns (callable(images_u8) -> tuple, meta).
+
+    The callable returns outputs in the meta["outputs"] order, matching the
+    StableHLO artifact's output layout for each format.
+    """
+    import numpy as np
+    import tensorflow as tf
+
+    meta = {}
+    if os.path.exists(art_path + ".json"):
+        with open(art_path + ".json") as f:
+            meta = json.load(f)
+    interp = tf.lite.Interpreter(model_path=art_path, num_threads=os.cpu_count())
+    runner = interp.get_signature_runner("serving_default")
+    out_names = meta.get("outputs") or sorted(
+        runner.get_output_details().keys())
+
+    as_dict = meta.get("format") == "decoded"  # match StableHLO pytree layout
+
+    def call(images_u8):
+        out = runner(images=np.asarray(images_u8, np.uint8))
+        if as_dict:
+            return {n: out[n] for n in out_names}
+        return tuple(out[n] for n in out_names)
+
+    return call, meta
+
+
+def export_onnx(weights: str, out_dir: Optional[str] = None,
+                fmt: str = "decoded", batch: int = 1,
+                img_size: Optional[int] = None, **kw) -> str:
+    """ONNX export (reference export/export_onnx.py:179-332 parity): emits an
+    opset-17 ONNX file from the jaxpr of the decoded graph (deploy/onnx.py —
+    first-party emitter, no onnx package needed)."""
+    from yololite_tpu.deploy.onnx import export_onnx as _export
+    return _export(weights, out_dir=out_dir, fmt=fmt, batch=batch,
+                   img_size=img_size, **kw)

@@ -77,12 +77,18 @@ def gts_to_coco(batch: Dict[str, np.ndarray], first_img_id: int, nvalid: int,
 
 
 def bench_forward_ms_per_img(trainer, variables, batch_size: int, img_size: int,
-                             warmup: int = 3, iters: int = 10) -> float:
+                             warmup: int = 3, iters: int = 10,
+                             device=None) -> float:
     """Forward-only latency (reference _bench_forward_ms_per_img
-    evaluate.py:254-303); jitted forward, block_until_ready for honest timing."""
+    evaluate.py:254-303); jitted forward, block_until_ready for honest timing.
+    `device`: bench on a specific device (e.g. the host CPU — the reference
+    benches on GPU AND a cpu model copy, evaluate.py:497-516)."""
     import jax
     import jax.numpy as jnp
     x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.uint8)
+    if device is not None:  # committed inputs steer jit to this backend
+        variables = jax.device_put(variables, device)
+        x = jax.device_put(x, device)
 
     fwd = jax.jit(lambda v, x: trainer._eval_forward(v["params"], v["batch_stats"], x))
     for _ in range(warmup):
@@ -94,8 +100,24 @@ def bench_forward_ms_per_img(trainer, variables, batch_size: int, img_size: int,
     return dt * 1000.0 / batch_size
 
 
+def bench_forward_cpu_ms_per_img(trainer, variables, img_size: int) -> float:
+    """Host-CPU forward latency leg (batch 1, few iters — the CPU copy is the
+    deploy sanity number, not the headline). NaN if no distinct CPU backend."""
+    import jax
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return float("nan")
+    if cpu.platform == jax.devices()[0].platform:
+        return float("nan")  # already benched on this backend
+    return bench_forward_ms_per_img(trainer, variables, batch_size=1,
+                                    img_size=img_size, warmup=1, iters=3,
+                                    device=cpu)
+
+
 def make_summary_image(stats: Dict[str, float], curves: Dict, ms_per_img: float,
-                       out_path: str, title: str = "Evaluation summary"):
+                       out_path: str, title: str = "Evaluation summary",
+                       ms_per_img_cpu: float = float("nan")):
     """PIL/matplotlib dashboard card (reference make_summary_image
     evaluate.py:349-394)."""
     try:
@@ -115,6 +137,9 @@ def make_summary_image(stats: Dict[str, float], curves: Dict, ms_per_img: float,
         lines.append("")
         lines.append(f"forward latency: {ms_per_img:.2f} ms/img "
                      f"({1000.0 / max(ms_per_img, 1e-9):.1f} img/s)")
+        if np.isfinite(ms_per_img_cpu):
+            lines.append(f"host-CPU forward: {ms_per_img_cpu:.2f} ms/img "
+                         f"({1000.0 / max(ms_per_img_cpu, 1e-9):.1f} img/s)")
         ax.text(0.02, 0.98, "\n".join(lines), va="top", family="monospace",
                 fontsize=12)
         fig.tight_layout()
@@ -160,18 +185,24 @@ def evaluate_model(trainer, variables, val_loader, log_dir: str, num_classes: in
                             conf=float(curves.get("best_conf", 0.25) or 0.25),
                             class_names=class_names, out_dir=log_dir)
 
-    ms_per_img = (bench_forward_ms_per_img(trainer, variables,
-                                           batch_size=min(8, val_loader.batch_size),
-                                           img_size=img_size)
-                  if run_bench else float("nan"))
+    if run_bench:
+        ms_per_img = bench_forward_ms_per_img(
+            trainer, variables, batch_size=min(8, val_loader.batch_size),
+            img_size=img_size)
+        ms_per_img_cpu = bench_forward_cpu_ms_per_img(trainer, variables,
+                                                      img_size)
+    else:
+        ms_per_img = ms_per_img_cpu = float("nan")
 
     make_summary_image(stats, curves, ms_per_img,
-                       os.path.join(log_dir, "summary.png"))
+                       os.path.join(log_dir, "summary.png"),
+                       ms_per_img_cpu=ms_per_img_cpu)
     results = {
         "coco": stats,
         "best_f1": float(curves.get("best_f1", 0.0)),
         "best_conf": float(curves.get("best_conf", 0.0)),
         "ms_per_img": float(ms_per_img),
+        "ms_per_img_cpu": float(ms_per_img_cpu),
     }
     if segm_stats is not None:
         results["coco_segm"] = segm_stats
