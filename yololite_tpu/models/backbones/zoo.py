@@ -105,15 +105,19 @@ def _mobilenetv4_conv_small(width: float = 1.0):
          _b("uib", features=c(96), expand=2.0, dw_start=0, dw_mid=3),
          _b("uib", features=c(96), expand=2.0, dw_start=0, dw_mid=3),
          _b("uib", features=c(96), expand=4.0, dw_start=3, dw_mid=0)),
-        # r32
+        # r32 — ends with the wide 1x1 "final conv" (timm blocks stage
+        # `cn_r1_k1_s1_e1_c960`, scaled by width): it is part of features_only
+        # output, so C5 fed to the FPN is 960*width channels, exactly as the
+        # reference sees through timm feature_info (model_v2.py:94-101).
         (_b("uib", features=c(128), expand=6.0, dw_start=3, dw_mid=3, stride=2),
          _b("uib", features=c(128), expand=4.0, dw_start=5, dw_mid=5),
          _b("uib", features=c(128), expand=4.0, dw_start=0, dw_mid=5),
          _b("uib", features=c(128), expand=3.0, dw_start=0, dw_mid=5),
          _b("uib", features=c(128), expand=4.0, dw_start=0, dw_mid=3),
-         _b("uib", features=c(128), expand=4.0, dw_start=0, dw_mid=3)),
+         _b("uib", features=c(128), expand=4.0, dw_start=0, dw_mid=3),
+         _b("conv", features=c(960), kernel=1, stride=1, act="relu")),
     )
-    info = [(4, c(32)), (8, c(64)), (16, c(96)), (32, c(128))]
+    info = [(4, c(32)), (8, c(64)), (16, c(96)), (32, c(960))]
     return stem, stages, info
 
 

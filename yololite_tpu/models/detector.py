@@ -194,11 +194,16 @@ class YOLOLiteMS(nn.Module):
         outs.append(head(anchors[li], "head3")(p3, train))
         outs.append(head(anchors[li + 1], "head4")(p4, train))
         outs.append(head(anchors[li + 2], "head5")(p5, train))
+        p6 = ConvBNAct(ch, 3, 2, act=("relu" if self.cpu_variant else "silu"),
+                       dtype=self.dtype, name="p6_down")(p5, train)
+        p6 = self._smooth("smooth6")(p6, train)
         if self.use_p6:
-            p6 = ConvBNAct(ch, 3, 2, act=("relu" if self.cpu_variant else "silu"),
-                           dtype=self.dtype, name="p6_down")(p5, train)
-            p6 = self._smooth("smooth6")(p6, train)
             outs.append(head(anchors[li + 3], "head6")(p6, train))
+        # else: p6 is discarded. The reference registers p6_down/p6_bn/smooth6
+        # parameters unconditionally (model_v2.py:130-133 constructs them in
+        # __init__ even when use_p6=False; only head6 is gated), so param
+        # counts and checkpoint layouts match it exactly. XLA dead-code
+        # eliminates the unused branch from the compiled forward graph.
         if self.with_masks:
             protos = ProtoNet(ch, self.num_prototypes, dtype=self.dtype,
                               name="protonet")(p3, train)
