@@ -143,3 +143,78 @@ def test_seg_training_and_predict(seg_data, tmp_path):
         assert r["masks"] is not None
         assert r["masks"].shape[1:] == (96, 96)
         assert r["masks"].dtype == np.uint8
+
+
+def test_rle_roundtrip_and_area():
+    from yololite_tpu.ops.masks import rle_area, rle_decode_np, rle_encode_np
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        m = rng.rand(37, 53) > 0.6
+        rle = rle_encode_np(m)
+        assert rle["size"] == [37, 53]
+        back = rle_decode_np(rle)
+        assert np.array_equal(back.astype(bool), m)
+        assert rle_area(rle) == int(m.sum())
+    # all-zero and all-one edge cases
+    for m in (np.zeros((5, 4), bool), np.ones((5, 4), bool)):
+        assert np.array_equal(rle_decode_np(rle_encode_np(m)).astype(bool), m)
+
+
+def test_seg_dataset_full_res_rles(seg_data):
+    from yololite_tpu.data import YoloDataset
+    from yololite_tpu.ops.masks import rle_area, rle_decode_np
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=False, augment=False,
+                     max_boxes=8, task="segment")
+    s = ds.get(0, np.random.RandomState(0))
+    n = int(s["mask"].sum())
+    assert len(s["gt_rles"]) == n
+    for j in range(n):
+        rle = s["gt_rles"][j]
+        assert rle["size"] == [96, 96]            # image res, not proto res
+        full = rle_decode_np(rle)
+        # full-res mask pixels fall inside the GT box (tol 1px)
+        ys, xs = np.nonzero(full)
+        x1, y1, x2, y2 = s["boxes"][j]
+        assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
+        assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
+        # area consistent with the proto-res mask scaled up (coarse check)
+        proto_area = s["masks"][j].sum() * (96 / 24.0) ** 2
+        assert abs(rle_area(rle) - proto_area) / max(proto_area, 1) < 0.35
+
+
+def test_segm_eval_full_res_rle():
+    """Segm COCOeval on image-resolution RLE masks: perfect dets -> AP 1,
+    half-overlapping dets land between 0 and 1, and full-res is what's
+    measured (a det at the GT's box but wrong shape scores lower)."""
+    from yololite_tpu.eval.coco import COCOEvaluator
+    from yololite_tpu.ops.masks import rle_encode_np
+
+    H = W = 96
+    def circle(cx, cy, r):
+        yy, xx = np.mgrid[:H, :W]
+        return (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+
+    images = [{"id": 1, "width": W, "height": H}]
+    gt_mask = circle(40, 40, 18)
+    anns = [{"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [22, 22, 36, 36], "area": float(gt_mask.sum()),
+             "iscrowd": 0, "segmentation": rle_encode_np(gt_mask)}]
+
+    ev = COCOEvaluator(num_classes=1, iou_type="segm")
+    perfect = [{"image_id": 1, "category_id": 1, "bbox": [22, 22, 36, 36],
+                "score": 0.9, "segmentation": rle_encode_np(gt_mask)}]
+    s = ev.evaluate(images, anns, perfect)
+    assert s["AP50"] == 1.0 and s["AP"] == 1.0
+
+    # same bbox, but a square mask instead of the circle: bbox IoU would be 1,
+    # mask IoU = pi/4 ~ 0.785 -> perfect under AP50, rejected at IoU .9
+    square = np.zeros((H, W), bool)
+    square[22:58, 22:58] = True
+    boxy = [{"image_id": 1, "category_id": 1, "bbox": [22, 22, 36, 36],
+             "score": 0.9, "segmentation": rle_encode_np(square)}]
+    s2 = ev.evaluate(images, anns, boxy)
+    assert s2["AP50"] == 1.0
+    assert s2["AP"] < s["AP"]

@@ -291,11 +291,14 @@ class YoloDataset:
         canvas, scale, px, py = letterbox_image(img, s)
         polys = [p * scale + np.array([px, py], np.float32) for p in polys]
 
+        from yololite_tpu.ops.masks import rle_encode_np
         m = self.max_boxes
         boxes = np.zeros((m, 4), np.float32)
         labs = np.zeros((m,), np.int32)
         valid = np.zeros((m,), bool)
         masks = np.zeros((m, ps, ps), np.uint8)
+        gt_rles = []  # full-resolution GT masks as RLE (host-only, for eval)
+        full = np.zeros((s, s), np.uint8)
         n = 0
         for poly, lab in zip(polys, labels):
             if n >= m:
@@ -310,9 +313,12 @@ class YoloDataset:
             valid[n] = True
             pts = np.round(poly * (ps / float(s))).astype(np.int32)
             cv2.fillPoly(masks[n], [pts], 1)
+            full[:] = 0
+            cv2.fillPoly(full, [np.round(poly).astype(np.int32)], 1)
+            gt_rles.append(rle_encode_np(full))
             n += 1
         return {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
-                "masks": masks, "image_id": np.int64(idx)}
+                "masks": masks, "gt_rles": gt_rles, "image_id": np.int64(idx)}
 
     def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         rng = rng or np.random.RandomState()
@@ -327,6 +333,7 @@ class YoloDataset:
                         "labels": np.zeros((self.max_boxes,), np.int32),
                         "mask": np.zeros((self.max_boxes,), bool),
                         "masks": np.zeros((self.max_boxes, ps, ps), np.uint8),
+                        "gt_rles": [],
                         "image_id": np.int64(idx)}
         try:
             img = self.load_image(idx)

@@ -33,6 +33,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
         keys.append("masks")
     for k in keys:
         out[k] = np.stack([s[k] for s in samples])
+    if "gt_rles" in samples[0]:  # full-res GT mask RLEs: host-only, ragged
+        out["gt_rles"] = [s["gt_rles"] for s in samples]
     out["image_id"] = np.asarray([s["image_id"] for s in samples], np.int64)
     return out
 
@@ -108,7 +110,8 @@ class DataLoader:
                     samples = fetch_batch(chunk, rng)
                     nvalid = len(samples)
                     while len(samples) < self.batch_size:  # pad final batch (eval)
-                        pad = {k: np.zeros_like(v) for k, v in samples[0].items()}
+                        pad = {k: ([] if isinstance(v, list) else np.zeros_like(v))
+                               for k, v in samples[0].items()}
                         pad["image_id"] = np.int64(-1)
                         samples.append(pad)
                     batch = collate(samples)

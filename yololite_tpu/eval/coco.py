@@ -57,6 +57,27 @@ def iou_xywh_matrix(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _dense_masks(items) -> np.ndarray:
+    """COCO ann/det dicts -> stacked binary masks [N, H, W].
+
+    Accepts full-resolution RLE under "segmentation" (the evaluation-time
+    format: GT rasterized from polygons at image resolution, dets upsampled
+    from prototype resolution — reference V2 masks are image-resolution,
+    README.md:41) or a dense binary array under "mask" (legacy/proto-res).
+    All items in one (image, class) group must share one resolution.
+    """
+    from yololite_tpu.ops.masks import rle_decode_np
+    if not items:
+        return np.zeros((0, 1, 1), bool)
+    out = []
+    for it in items:
+        if "segmentation" in it:
+            out.append(rle_decode_np(it["segmentation"]).astype(bool))
+        else:
+            out.append(np.asarray(it["mask"], bool))
+    return np.stack(out)
+
+
 def mask_iou_matrix(dt_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
     """IoU between binary masks: [D,h,w] x [G,h,w] -> [D,G] (segm COCOeval)."""
     if len(dt_masks) == 0 or len(gt_masks) == 0:
@@ -185,14 +206,13 @@ class COCOEvaluator:
                     dt_scores = np.asarray([d["score"] for d in dts], np.float64)
                     iou_m = None
                     if self.iou_type == "segm":
-                        gm = np.asarray([np.asarray(g["mask"], bool) for g in gts]) \
-                            if gts else np.zeros((0, 1, 1), bool)
-                        dm = np.asarray([np.asarray(d["mask"], bool) for d in dts]) \
-                            if dts else np.zeros((0, 1, 1), bool)
+                        gm = _dense_masks(gts)
+                        dm = _dense_masks(dts)
                         iou_m = mask_iou_matrix(dm, gm)
                         if len(gts):
                             # area ranges bin by SEGMENTATION area, scaled from
-                            # mask resolution to image pixels
+                            # mask resolution to image pixels (full-res RLE
+                            # masks need no scaling: scale == 1)
                             im_w = im_h = None
                             for im in coco_images:
                                 if int(im["id"]) == img:

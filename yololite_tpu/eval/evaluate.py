@@ -22,9 +22,19 @@ from yololite_tpu.eval.prf1 import build_curves_from_coco
 
 
 def dets_to_coco(det_batch: Dict[str, np.ndarray], first_img_id: int,
-                 nvalid: int, add_one: bool = True) -> List[dict]:
+                 nvalid: int, add_one: bool = True,
+                 mask_size: Optional[int] = None) -> List[dict]:
     """Fixed-shape NMS outputs -> COCO det dicts (xywh, 1-based category).
-    Segmentation models also attach a binarized "mask" per det (proto res)."""
+
+    Segmentation models attach an image-resolution instance mask per det:
+    the proto-res probability map is upsampled to `mask_size` (bilinear),
+    binarized at 0.5, and stored as COCO RLE ("segmentation"), matching the
+    reference V2's full-resolution mask outputs (README.md:41). If
+    `mask_size` is None the raw proto-res binary mask is kept under "mask"
+    (legacy callers/tests)."""
+    import cv2
+
+    from yololite_tpu.ops.masks import rle_encode_np
     out = []
     boxes = np.asarray(det_batch["boxes"])
     scores = np.asarray(det_batch["scores"])
@@ -43,7 +53,13 @@ def dets_to_coco(det_batch: Dict[str, np.ndarray], first_img_id: int,
                 "score": float(scores[b][i]),
             }
             if masks is not None:
-                d["mask"] = masks[b][i] > 0.5
+                if mask_size is not None:
+                    up = cv2.resize(masks[b][i].astype(np.float32),
+                                    (int(mask_size), int(mask_size)),
+                                    interpolation=cv2.INTER_LINEAR)
+                    d["segmentation"] = rle_encode_np(up > 0.5)
+                else:
+                    d["mask"] = masks[b][i] > 0.5
             out.append(d)
     return out
 
@@ -51,13 +67,19 @@ def dets_to_coco(det_batch: Dict[str, np.ndarray], first_img_id: int,
 def gts_to_coco(batch: Dict[str, np.ndarray], first_img_id: int, nvalid: int,
                 img_size: int, ann_id_start: int):
     """Padded GT batch -> (coco images, coco anns, next_ann_id).
-    Segmentation batches also attach the GT instance "mask" per ann."""
+
+    Segmentation batches attach the GT instance mask per ann: the dataset's
+    full-resolution RLE ("gt_rles", rasterized from the letterboxed polygons
+    at image resolution) when available, else the proto-res binary "mask"
+    (legacy callers/tests)."""
+    from yololite_tpu.ops.masks import rle_area
     images, anns = [], []
     ann_id = ann_id_start
     boxes = np.asarray(batch["boxes"])
     labels = np.asarray(batch["labels"])
     mask = np.asarray(batch["mask"])
     gt_masks = np.asarray(batch["masks"]) if "masks" in batch else None
+    gt_rles = batch.get("gt_rles")
     for b in range(min(len(boxes), nvalid)):
         img_id = int(first_img_id + b)
         images.append({"id": img_id, "file_name": f"val_{img_id}.jpg",
@@ -69,7 +91,10 @@ def gts_to_coco(batch: Dict[str, np.ndarray], first_img_id: int, nvalid: int,
             a = {"id": ann_id, "image_id": img_id,
                  "category_id": int(labels[b][i]) + 1,
                  "bbox": [x1, y1, w, h], "area": float(w * h), "iscrowd": 0}
-            if gt_masks is not None:
+            if gt_rles is not None and i < len(gt_rles[b]):
+                a["segmentation"] = gt_rles[b][i]
+                a["area"] = float(rle_area(gt_rles[b][i]))
+            elif gt_masks is not None:
                 a["mask"] = gt_masks[b][i] > 0
             anns.append(a)
             ann_id += 1
@@ -168,14 +193,15 @@ def evaluate_model(trainer, variables, val_loader, log_dir: str, num_classes: in
         coco_images += imgs
         coco_anns += anns
         coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()},
-                                  img_id, nvalid)
+                                  img_id, nvalid, mask_size=img_size)
         img_id += nvalid
 
     stats = coco_eval_from_lists(coco_images, coco_anns, coco_dets,
                                  num_classes=num_classes)
-    # instance-segmentation mAP (mask IoU) when masks are present
+    # instance-segmentation mAP (mask IoU, full image resolution) when present
     segm_stats = None
-    if any("mask" in d for d in coco_dets) and any("mask" in a for a in coco_anns):
+    has = lambda items: any("segmentation" in x or "mask" in x for x in items)
+    if has(coco_dets) and has(coco_anns):
         from yololite_tpu.eval.coco import COCOEvaluator
         segm_stats = COCOEvaluator(num_classes, iou_type="segm").evaluate(
             coco_images, coco_anns, coco_dets)

@@ -71,6 +71,49 @@ def upsample_masks(masks: jnp.ndarray, out_hw: Tuple[int, int],
     return up
 
 
+def rle_encode_np(mask) -> dict:
+    """Binary [H, W] mask -> COCO-style uncompressed RLE.
+
+    Column-major (Fortran) scan, alternating run lengths starting with the
+    count of zeros — the exact convention of pycocotools' `frPyObjects`
+    uncompressed dict, so these interop with pycocotools when present. Full-
+    resolution instance masks are stored this way during evaluation (reference
+    V2 returns image-resolution masks, README.md:41): a few hundred bytes per
+    instance instead of H*W booleans.
+    """
+    import numpy as np
+    mask = np.asarray(mask)
+    h, w = mask.shape
+    flat = (mask > 0).flatten(order="F")
+    # run-length: positions where the value changes
+    change = np.nonzero(np.diff(flat))[0] + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(idx)
+    if flat.size and flat[0]:  # counts must start with a zero-run
+        counts = np.concatenate([[0], counts])
+    return {"size": [int(h), int(w)], "counts": counts.astype(np.uint32)}
+
+
+def rle_decode_np(rle: dict):
+    """COCO uncompressed RLE -> binary [H, W] uint8 mask."""
+    import numpy as np
+    h, w = rle["size"]
+    counts = np.asarray(rle["counts"], np.int64)
+    vals = np.zeros(len(counts), np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts)
+    if flat.size < h * w:
+        flat = np.concatenate([flat, np.zeros(h * w - flat.size, np.uint8)])
+    return flat[: h * w].reshape((h, w), order="F")
+
+
+def rle_area(rle: dict) -> int:
+    """Foreground pixel count straight from the run lengths (no decode)."""
+    import numpy as np
+    counts = np.asarray(rle["counts"], np.int64)
+    return int(counts[1::2].sum())
+
+
 def rasterize_box_masks_np(boxes, img_size: int, proto_size: int):
     """Host helper: GT boxes -> rectangular masks [M, proto, proto] (used when
     only box labels exist; polygon labels rasterize via cv2.fillPoly)."""

@@ -248,8 +248,10 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             imgs, anns, ann_id = gts_to_coco(batch, img_id, nvalid, img_size, ann_id)
             coco_images += imgs
             coco_anns += anns
-            coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()},
-                                      img_id, nvalid)
+            # per-epoch COCO is bbox-only (segm mAP runs in the final
+            # evaluate_model); drop masks so they aren't accumulated all epoch
+            coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()
+                                       if k != "masks"}, img_id, nvalid)
             img_id += nvalid
         avg_val = v_running / max(1, vb_count)
         val_losses.append(avg_val)
