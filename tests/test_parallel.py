@@ -4,6 +4,8 @@ The DP invariant: because the loss SUMS over images, sharding the batch over
 the mesh must produce the same loss and the same parameter update as single
 device execution (XLA all-reduces the per-shard grads)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -158,3 +160,50 @@ def test_dp_segmentation_train_step():
     state, m = tr.train_step(state, db, tr.lr_vector(1e-3))
     assert np.isfinite(float(m["total"]))
     assert "mask" in m  # mask loss reported
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step():
+    """2-process jax.distributed over CPU: 8 global devices (2 hosts x 4),
+    one SPMD train step with per-host local batches; both processes must
+    print identical post-step parameter checksums (grads all-reduced over
+    the global mesh). Exercises parallel/mesh.py:init_distributed and the
+    multi-process shard_batch/replicate_tree paths end-to-end."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--coordinator", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+    sums = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("MULTIHOST_OK")]
+        assert line, f"no MULTIHOST_OK line:\n{out[-2000:]}"
+        sums.append(line[0].split("checksum=")[1])
+    assert sums[0] == sums[1], f"param checksums diverged: {sums}"

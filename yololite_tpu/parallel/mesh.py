@@ -66,22 +66,43 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one JAX process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
     """Put a host batch onto the mesh, batch-dim sharded over 'data'.
-    Scalar entries (e.g. nvalid) are replicated."""
+    Scalar entries (e.g. nvalid) are replicated.
+
+    Multi-host: each process passes its LOCAL batch chunk (global batch =
+    local batch x process_count along dim 0); the global array is assembled
+    with `jax.make_array_from_process_local_data` — `device_put` cannot
+    target non-addressable devices."""
     if mesh is None:
         return {k: jax.device_put(v) for k, v in batch.items()}
     ds = data_sharding(mesh)
     rs = replicated_sharding(mesh)
+    multi = _multiprocess(mesh)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        out[k] = jax.device_put(v, ds if v.ndim >= 1 else rs)
+        sh = ds if v.ndim >= 1 else rs
+        if multi:
+            out[k] = jax.make_array_from_process_local_data(sh, v)
+        else:
+            out[k] = jax.device_put(v, sh)
     return out
 
 
 def replicate_tree(tree, mesh: Optional[Mesh]):
+    """Replicate a pytree over the mesh. Multi-host: every process must hold
+    identical leaf values (e.g. params initialized from one shared seed)."""
     if mesh is None:
         return tree
     rs = replicated_sharding(mesh)
+    if _multiprocess(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(rs, np.asarray(x)),
+            tree)
     return jax.device_put(tree, rs)
