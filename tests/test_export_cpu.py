@@ -56,6 +56,7 @@ def _jax_decoded(ckpt_path, images_u8):
              "cls_logits": d["cls"]}.items()}
 
 
+@pytest.mark.slow
 def test_tflite_decoded_parity(tiny_ckpt, tmp_path):
     from yololite_tpu.deploy.export import export_tflite, load_exported
 
@@ -77,6 +78,7 @@ def test_tflite_decoded_parity(tiny_ckpt, tmp_path):
                                    rtol=1e-3, atol=1e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_tflite_nms_format_runs(tiny_ckpt, tmp_path):
     """The full in-graph NMS also lowers to TFLite (while-loop via flex ops)."""
     from yololite_tpu.deploy.export import export_tflite, load_exported
@@ -92,6 +94,7 @@ def test_tflite_nms_format_runs(tiny_ckpt, tmp_path):
     assert valid.dtype == np.bool_ or valid.dtype == bool
 
 
+@pytest.mark.slow
 def test_tflite_dynamic_quant_smaller(tiny_ckpt, tmp_path):
     from yololite_tpu.deploy.export import export_tflite
 

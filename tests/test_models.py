@@ -95,6 +95,7 @@ def test_train_mode_updates_batch_stats():
     assert changed
 
 
+@pytest.mark.slow
 def test_entire_config_zoo_builds_and_forwards():
     """Every shipped model YAML builds and runs a forward pass (config typos,
     channel mismatches, and P2/P6 interactions surface here)."""

@@ -140,3 +140,25 @@ def test_yolo_scores():
     s, c = np.asarray(s), np.asarray(c)
     np.testing.assert_allclose(s[0, 0], _sigmoid(0.0) * _sigmoid(2.0), atol=1e-6)
     assert c[0, 0] == 0 and c[0, 1] == 1
+
+
+def test_nms_approx_topk_near_exact():
+    """approx_max_k pre-selection (recall 0.99) keeps detections ~identical to
+    the exact sort on a realistic score distribution."""
+    rng = np.random.RandomState(0)
+    n = 4096
+    boxes_wh = rng.uniform(8, 60, (n, 2)).astype(np.float32)
+    xy = rng.uniform(0, 600, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + boxes_wh], 1)
+    scores = (rng.beta(0.5, 8.0, n)).astype(np.float32)
+    classes = rng.randint(0, 20, n).astype(np.int32)
+    args = dict(iou_th=0.5, conf_th=0.05, max_det=100, pre_nms_topk=512)
+    exact = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                        jnp.asarray(classes)[None], **args)
+    approx = batched_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                         jnp.asarray(classes)[None], approx_topk=True, **args)
+    ev, av = np.asarray(exact[3][0]), np.asarray(approx[3][0])
+    es = set(np.round(np.asarray(exact[1][0])[ev], 5))
+    as_ = set(np.round(np.asarray(approx[1][0])[av], 5))
+    # recall_target=0.99 on the pre-selection: allow a couple of tail swaps
+    assert len(es & as_) >= int(0.97 * len(es))

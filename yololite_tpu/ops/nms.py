@@ -83,14 +83,22 @@ def nms_single(
     class_aware: bool = True,
     use_diou: bool = False,
     coord_bound: float = 8192.0,
+    approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-image NMS. Returns (boxes [max_det,4], scores [max_det],
     classes [max_det] int32, valid [max_det] bool) padded fixed-shape outputs.
+
+    approx_topk=True uses the TPU-native `jax.lax.approx_max_k` (recall 0.99)
+    for the candidate PRE-selection instead of a full sort; suppression among
+    the selected candidates stays exact-greedy.
     """
     n = boxes.shape[0]
     k = min(pre_nms_topk, n)
     scores = jnp.where(scores > conf_th, scores, 0.0)
-    top_scores, idx = jax.lax.top_k(scores, k)
+    if approx_topk and k < n:
+        top_scores, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    else:
+        top_scores, idx = jax.lax.top_k(scores, k)
     boxes_k = jnp.take(boxes, idx, axis=0)
     cls_k = jnp.take(classes, idx, axis=0)
     valid = top_scores > 0.0
@@ -123,7 +131,8 @@ def nms_single(
 
 
 @partial(jax.jit, static_argnames=("iou_th", "conf_th", "max_det", "pre_nms_topk",
-                                   "class_aware", "use_diou", "use_pallas"))
+                                   "class_aware", "use_diou", "use_pallas",
+                                   "approx_topk"))
 def batched_nms(
     boxes: jnp.ndarray,    # [B,N,4]
     scores: jnp.ndarray,   # [B,N]
@@ -136,6 +145,7 @@ def batched_nms(
     class_aware: bool = True,
     use_diou: bool = False,
     use_pallas: bool = False,
+    approx_topk: bool = False,
 ):
     """vmapped class-aware NMS over the batch (static shapes end to end).
 
@@ -149,7 +159,8 @@ def batched_nms(
                                    pre_nms_topk=pre_nms_topk,
                                    class_aware=class_aware)
     fn = partial(nms_single, iou_th=iou_th, conf_th=conf_th, max_det=max_det,
-                 pre_nms_topk=pre_nms_topk, class_aware=class_aware, use_diou=use_diou)
+                 pre_nms_topk=pre_nms_topk, class_aware=class_aware,
+                 use_diou=use_diou, approx_topk=approx_topk)
     return jax.vmap(fn)(boxes, scores, classes)
 
 
