@@ -130,36 +130,69 @@ def random_brightness_contrast(img, rng, brightness=0.2, contrast=0.2):
     return cv2.convertScaleAbs(img, alpha=alpha, beta=beta)
 
 
+def _hsv_lut(hue_add: float, sat_scale: float, sat_add: float,
+             val_add: float) -> np.ndarray:
+    """256x1x3 uint8 LUT over HSV channels: one cv2.LUT call replaces the
+    float-array hue/sat/val arithmetic (hot path: runs per training sample)."""
+    idx = np.arange(256, dtype=np.float32)
+    lut = np.empty((256, 1, 3), np.uint8)
+    lut[:, 0, 0] = np.mod(idx + hue_add, 180.0).astype(np.uint8)
+    lut[:, 0, 1] = np.clip(idx * sat_scale + sat_add, 0, 255).astype(np.uint8)
+    lut[:, 0, 2] = np.clip(idx + val_add, 0, 255).astype(np.uint8)
+    return lut
+
+
 def color_jitter(img, rng, brightness=0.2, contrast=0.2, saturation=0.15, hue=0.05):
     img = random_brightness_contrast(img, rng, brightness, contrast)
-    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
-    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue, hue) * 180.0) % 180.0
-    hsv[..., 1] = np.clip(hsv[..., 1] * (1.0 + rng.uniform(-saturation, saturation)), 0, 255)
-    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    lut = _hsv_lut(rng.uniform(-hue, hue) * 180.0,
+                   1.0 + rng.uniform(-saturation, saturation), 0.0, 0.0)
+    return cv2.cvtColor(cv2.LUT(hsv, lut), cv2.COLOR_HSV2RGB)
 
 
 def hsv_shift(img, rng, hue_lim=5, sat_lim=15, val_lim=15):
-    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
-    hsv[..., 0] = (hsv[..., 0] + rng.randint(-hue_lim, hue_lim + 1)) % 180
-    hsv[..., 1] = np.clip(hsv[..., 1] + rng.randint(-sat_lim, sat_lim + 1), 0, 255)
-    hsv[..., 2] = np.clip(hsv[..., 2] + rng.randint(-val_lim, val_lim + 1), 0, 255)
-    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    lut = _hsv_lut(float(rng.randint(-hue_lim, hue_lim + 1)), 1.0,
+                   float(rng.randint(-sat_lim, sat_lim + 1)),
+                   float(rng.randint(-val_lim, val_lim + 1)))
+    return cv2.cvtColor(cv2.LUT(hsv, lut), cv2.COLOR_HSV2RGB)
 
 
 def rgb_shift(img, rng, lim=20):
     shift = rng.randint(-lim, lim + 1, size=3)
-    return np.clip(img.astype(np.int16) + shift[None, None, :], 0, 255).astype(np.uint8)
+    # saturating per-channel scalar add in C (no int16 round-trip)
+    return cv2.add(img, tuple(float(s) for s in shift) + (0.0,))
 
 
 def channel_shuffle(img, rng):
     perm = rng.permutation(3)
-    return img[..., perm]
+    m = np.zeros((3, 3), np.float32)
+    m[np.arange(3), perm] = 1.0
+    return cv2.transform(img, m)
+
+
+_NOISE_POOL = None
+_NOISE_POOL_N = 1 << 23  # 8M floats (32 MB), read-only, shared across threads
 
 
 def gauss_noise(img, rng, var=(5.0, 20.0)):
+    """Additive white noise from a precomputed unit-normal pool: a random
+    offset slice per call (seeded by the per-sample RandomState -> samples
+    stay deterministic and thread-independent). Float64 `rng.normal` on the
+    full canvas + .clip dominated the whole input pipeline before."""
+    global _NOISE_POOL
+    if _NOISE_POOL is None:
+        _NOISE_POOL = np.random.default_rng(0xA0C5E).standard_normal(
+            _NOISE_POOL_N, dtype=np.float32)
     sigma = math.sqrt(rng.uniform(*var))
-    noise = rng.normal(0.0, sigma, img.shape)
-    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    n = int(img.size)
+    if n + 1 >= _NOISE_POOL_N:  # absurdly large image: fall back
+        noise = np.random.default_rng(rng.randint(1 << 31)).standard_normal(
+            img.shape, dtype=np.float32) * sigma
+    else:
+        off = rng.randint(_NOISE_POOL_N - n)
+        noise = (_NOISE_POOL[off:off + n] * sigma).reshape(img.shape)
+    return cv2.add(img, noise, dtype=cv2.CV_8UC3)
 
 
 def motion_blur(img, rng, k=3):

@@ -98,7 +98,8 @@ class YoloDataset:
                  is_train: bool = True, max_boxes: int = 100,
                  use_resize: bool = False, mosaic_p: float = 0.2,
                  cutmix_p: float = 0.2, augment: bool = True, seed: int = 0,
-                 task: str = "detect", proto_down: int = 4):
+                 task: str = "detect", proto_down: int = 4,
+                 cache_images: bool = False):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
@@ -118,6 +119,11 @@ class YoloDataset:
         self.proto_size = int(img_size) // int(proto_down)
         self.labels_cache = self._cache_labels()
         self.poly_cache = self._cache_polygons() if task == "segment" else None
+        # optional decoded-image RAM cache (original resolution, uint8 RGB).
+        # Each epoch re-decodes every JPEG otherwise; for datasets that fit in
+        # host RAM this removes imread from the hot loop entirely.
+        self.image_cache: Optional[List[Optional[np.ndarray]]] = (
+            [None] * len(self.img_files) if cache_images else None)
 
     def set_img_size(self, img_size: int):
         """Multi-scale training: switch the letterbox target size. Each size is
@@ -165,10 +171,17 @@ class YoloDataset:
         return len(self.img_files)
 
     def load_image(self, idx: int) -> np.ndarray:
+        if self.image_cache is not None:
+            cached = self.image_cache[idx]
+            if cached is not None:
+                return cached
         img = cv2.imread(self.img_files[idx])
         if img is None:
             raise ValueError(f"Image not found or corrupt: {self.img_files[idx]}")
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.image_cache is not None:
+            self.image_cache[idx] = img  # per-slot write: thread-safe
+        return img
 
     def load_label_processed(self, idx: int, img_h: int, img_w: int):
         data = self.labels_cache[idx]

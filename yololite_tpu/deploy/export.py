@@ -252,9 +252,37 @@ def load_tflite(art_path: str):
 def export_onnx(weights: str, out_dir: Optional[str] = None,
                 fmt: str = "decoded", batch: int = 1,
                 img_size: Optional[int] = None, **kw) -> str:
-    """ONNX export (reference export/export_onnx.py:179-332 parity): emits an
-    opset-17 ONNX file from the jaxpr of the decoded graph (deploy/onnx.py —
-    first-party emitter, no onnx package needed)."""
-    from yololite_tpu.deploy.onnx import export_onnx as _export
-    return _export(weights, out_dir=out_dir, fmt=fmt, batch=batch,
-                   img_size=img_size, **kw)
+    """ONNX export (reference export/export_onnx.py:179-332 parity).
+
+    Route: checkpoint -> jax2tf SavedModel -> tf2onnx -> opset-17 .onnx.
+    The tf2onnx step needs the `tf2onnx` + `onnx` packages; when absent, the
+    SavedModel is still produced and the error carries the one-line recipe to
+    finish the conversion on any machine. The fully self-contained CPU deploy
+    artifact of this repo is TFLite (`export_tflite`, raw/decoded/nms duality,
+    parity-tested in tests/test_export_cpu.py) — ONNX is provided for
+    ecosystems standardized on onnxruntime.
+    """
+    path = export_tflite(weights, out_dir=out_dir, fmt=fmt, batch=batch,
+                         img_size=img_size, keep_saved_model=True, **kw)
+    sm_dir = path.replace(".tflite", "_savedmodel").replace(
+        f"_{fmt}.tflite", f"_{fmt}_savedmodel")
+    onnx_path = path.replace(".tflite", ".onnx")
+    try:
+        import tf2onnx  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"ONNX conversion needs tf2onnx. SavedModel is ready at {sm_dir}; "
+            f"finish with: python -m tf2onnx.convert --saved-model {sm_dir} "
+            f"--output {onnx_path} --opset 17"
+        ) from e
+    import subprocess
+    import sys
+    subprocess.run([sys.executable, "-m", "tf2onnx.convert",
+                    "--saved-model", sm_dir, "--output", onnx_path,
+                    "--opset", "17"], check=True)
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    meta["runtime"] = "onnxruntime"
+    with open(onnx_path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return onnx_path

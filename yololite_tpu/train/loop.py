@@ -107,14 +107,17 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     task = str(config["model"].get("task", tr.get("task", "detect"))).lower()
     if config["model"].get("with_masks"):
         task = "segment"
+    cache_images = bool(tr.get("cache_images", False))
     train_ds = YoloDataset(config["dataset"]["train_images"],
                            config["dataset"]["train_labels"],
                            img_size=img_size, is_train=True, augment=use_augment,
-                           max_boxes=max_boxes, use_resize=use_resize, task=task)
+                           max_boxes=max_boxes, use_resize=use_resize, task=task,
+                           cache_images=cache_images)
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
-                         max_boxes=max_boxes, use_resize=use_resize, task=task)
+                         max_boxes=max_boxes, use_resize=use_resize, task=task,
+                         cache_images=cache_images)
     num_workers = int(tr.get("num_workers", 4) or 0)
     train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                               seed=int(tr.get("seed", 1337)),
@@ -140,6 +143,27 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     trainer = Trainer(model, config, total_updates=total_updates, mesh=mesh)
     state = trainer.init_state(seed=int(tr.get("seed", 1337)))
 
+    # pretrained backbone init (parity with the reference's timm
+    # `pretrained=True` default, model_v2.py:84): a backbone checkpoint
+    # written by tools/import_backbone.py (torch/timm weights) or
+    # tools/pretrain_backbone.py (classification pretraining on TPU).
+    pre_bb = (config.get("model", {}) or {}).get("pretrained_backbone") \
+        or tr.get("pretrained_backbone")
+    if pre_bb:
+        sd, bmeta = load_checkpoint(pre_bb)
+        want = getattr(model, "backbone", None)
+        have = (bmeta or {}).get("backbone")
+        if have and want and have != want:
+            raise ValueError(f"pretrained_backbone is for {have!r}, "
+                             f"model uses {want!r}")
+        from flax.core import unfreeze as _unf
+        p = _unf(state.params)
+        bs = _unf(state.batch_stats)
+        p["backbone"] = sd["params"].get("backbone", sd["params"])
+        bs["backbone"] = sd["batch_stats"].get("backbone", sd["batch_stats"])
+        state = trainer.state_from_weights(p, bs)
+        print(f"Initialized backbone from {pre_bb}")
+
     resume = tr.get("resume")
     if resume:
         sd, _meta = load_checkpoint(resume)
@@ -160,6 +184,7 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     freeze_epochs = int(tr.get("freeze_backbone_epochs",
                                tr.get("freeze_backbone", 0) or 0) or 0)
     save_every = int(tr.get("save_every", 25) or 25)
+    eval_every = int(tr.get("eval_every", 1) or 1)
     save_by = tr.get("save_by") or "AP"
     num_anchors = model.get_num_anchors_per_level()
 
@@ -228,49 +253,59 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         scheduler.end_epoch(epoch)
 
         # ---- validation: EMA model, val loss + COCO (train.py:408-494) ----
+        # eval_every > 1 skips the COCO pass on most epochs (final epoch and
+        # the no-aug taper tail always evaluate, so best-ckpt selection still
+        # sees the strongest epochs). The reference evaluates every epoch.
+        do_eval = (eval_every <= 1 or (epoch + 1) % eval_every == 0
+                   or (epoch + 1) == epochs or not use_augment)
         variables = trainer.ema_variables(state)
-        coco_images, coco_anns, coco_dets = [], [], []
-        ann_id, img_id = 1, 1
-        v_running = 0.0
-        vb_count = 0
-        dbg_batch = random.randrange(max(1, len(val_loader)))
-        for bi, batch in enumerate(val_loader):
-            nvalid = int(batch.get("nvalid", len(batch["image"])))
-            device_batch = trainer.put_batch(batch)
-            vmetrics, dets = trainer.eval_step(variables, device_batch,
-                                               conf_th=0.1, iou_th=0.65)
-            v_running += float(vmetrics["total"]) / max(1, nvalid)
-            vb_count += 1
-            if bi == dbg_batch and epoch + 1 > 5:
-                save_val_debug(batch["image"],
-                               {k: np.asarray(v) for k, v in dets.items()},
-                               log_dir, conf_th=0.3, names=class_names)
-            imgs, anns, ann_id = gts_to_coco(batch, img_id, nvalid, img_size, ann_id)
-            coco_images += imgs
-            coco_anns += anns
-            # per-epoch COCO is bbox-only (segm mAP runs in the final
-            # evaluate_model); drop masks so they aren't accumulated all epoch
-            coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()
-                                       if k != "masks"}, img_id, nvalid)
-            img_id += nvalid
-        avg_val = v_running / max(1, vb_count)
+        if do_eval:
+            coco_images, coco_anns, coco_dets = [], [], []
+            ann_id, img_id = 1, 1
+            v_running = 0.0
+            vb_count = 0
+            dbg_batch = random.randrange(max(1, len(val_loader)))
+            for bi, batch in enumerate(val_loader):
+                nvalid = int(batch.get("nvalid", len(batch["image"])))
+                device_batch = trainer.put_batch(batch)
+                vmetrics, dets = trainer.eval_step(variables, device_batch,
+                                                   conf_th=0.1, iou_th=0.65)
+                v_running += float(vmetrics["total"]) / max(1, nvalid)
+                vb_count += 1
+                if bi == dbg_batch and epoch + 1 > 5:
+                    save_val_debug(batch["image"],
+                                   {k: np.asarray(v) for k, v in dets.items()},
+                                   log_dir, conf_th=0.3, names=class_names)
+                imgs, anns, ann_id = gts_to_coco(batch, img_id, nvalid, img_size, ann_id)
+                coco_images += imgs
+                coco_anns += anns
+                # per-epoch COCO is bbox-only (segm mAP runs in the final
+                # evaluate_model); drop masks so they aren't accumulated all epoch
+                coco_dets += dets_to_coco({k: np.asarray(v) for k, v in dets.items()
+                                           if k != "masks"}, img_id, nvalid)
+                img_id += nvalid
+            avg_val = v_running / max(1, vb_count)
+            scheduler.observe(avg_val)
+            coco_stats = coco_eval_from_lists(coco_images, coco_anns, coco_dets,
+                                              num_classes=num_classes)
+        else:
+            avg_val = float("nan")
+            coco_stats = {k: float("nan") for k in
+                          ("AP", "AP50", "AP75", "APS", "APM", "APL", "AR")}
         val_losses.append(avg_val)
-        scheduler.observe(avg_val)
-
-        coco_stats = coco_eval_from_lists(coco_images, coco_anns, coco_dets,
-                                          num_classes=num_classes)
         elapsed = time.time() - start
 
         lr_now = base_lr * scheduler.lr_factor(epoch + 1, global_step)
         hyper = trainer.hyper
         # atomic per-epoch metric JSONs (the reference defines these paths but
         # never writes them — tools/train.py:499-500; implemented here)
-        _write_json_atomic(os.path.join(log_dir, "last_metrics.json"),
-                           {"epoch": epoch + 1, **coco_stats,
-                            "train_loss": avg_train, "val_loss": avg_val})
-        if coco_stats.get(save_by, 0.0) >= max(best_metric, best_metric_no_aug):
-            _write_json_atomic(os.path.join(log_dir, "best_metrics.json"),
-                               {"epoch": epoch + 1, **coco_stats})
+        if do_eval:
+            _write_json_atomic(os.path.join(log_dir, "last_metrics.json"),
+                               {"epoch": epoch + 1, **coco_stats,
+                                "train_loss": avg_train, "val_loss": avg_val})
+            if coco_stats.get(save_by, 0.0) >= max(best_metric, best_metric_no_aug):
+                _write_json_atomic(os.path.join(log_dir, "best_metrics.json"),
+                                   {"epoch": epoch + 1, **coco_stats})
         append_csv(os.path.join(log_dir, "metrics.csv"), CSV_HEADER, [
             epoch + 1, coco_stats["AP"], coco_stats["AP50"], coco_stats["AP75"],
             coco_stats["APS"], coco_stats["APM"], coco_stats["APL"],
