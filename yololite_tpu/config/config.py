@@ -253,6 +253,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--anchors_per_level", type=int, default=None)
     ap.add_argument("--data_parallel", type=int, default=None,
                     help="Number of devices for data-parallel training (default: all)")
+    ap.add_argument("--pretrained_backbone", type=str, default=None,
+                    help="Backbone checkpoint from tools/import_backbone.py or "
+                         "tools/pretrain_backbone.py (reference: timm "
+                         "pretrained=True, model_v2.py:84)")
     return ap
 
 
@@ -279,6 +283,8 @@ def apply_overrides(config: Dict[str, Any], args: argparse.Namespace) -> Dict[st
         tr["augment"] = bool(args.augment)
     if getattr(args, "resume", None) is not None:
         tr["resume"] = str(args.resume)
+    if getattr(args, "pretrained_backbone", None) is not None:
+        tr["pretrained_backbone"] = str(args.pretrained_backbone)
     if getattr(args, "lr", None) is not None:
         tr["lr"] = float(args.lr)
     if getattr(args, "save_every", None) is not None:
