@@ -207,3 +207,34 @@ def test_multihost_two_process_train_step():
         assert line, f"no MULTIHOST_OK line:\n{out[-2000:]}"
         sums.append(line[0].split("checksum=")[1])
     assert sums[0] == sums[1], f"param checksums diverged: {sums}"
+
+
+def test_spatial_sharding_loss_matches_single_device():
+    """dp=2 x spatial=4 mesh: image H sharded over 'spatial' (GSPMD halo
+    exchange through the conv stack) must reproduce the single-device loss."""
+    from yololite_tpu.models.detector import build_model_from_config
+    cfg = _tiny_cfg(img=64)
+    batch = _batch(4, img=64)
+
+    model = build_model_from_config(cfg, dtype=jnp.float32)
+
+    t1 = Trainer(model, cfg, total_updates=10, mesh=None)
+    s1 = t1.init_state(seed=0)
+    _, m1 = t1.train_step(s1, t1.put_batch(batch), t1.lr_vector(1e-3))
+
+    mesh = make_mesh(2, n_spatial=4)
+    assert mesh.shape == {"data": 2, "spatial": 4}
+    tsp = Trainer(model, cfg, total_updates=10, mesh=mesh)
+    ssp = tsp.init_state(seed=0)
+    db = tsp.put_batch(batch)
+    # image really is sharded over both axes
+    shard_shape = db["image"].sharding.shard_shape(db["image"].shape)
+    assert shard_shape[0] == 2 and shard_shape[1] == 16
+    ssp, msp = tsp.train_step(ssp, db, tsp.lr_vector(1e-3))
+
+    np.testing.assert_allclose(float(m1["total"]), float(msp["total"]),
+                               rtol=2e-4, atol=2e-4)
+
+    # eval (decode + NMS) under the same mesh
+    metrics, dets = tsp.eval_step(tsp.ema_variables(ssp), db)
+    assert np.isfinite(float(metrics["total"]))

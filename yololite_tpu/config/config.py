@@ -253,6 +253,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--anchors_per_level", type=int, default=None)
     ap.add_argument("--data_parallel", type=int, default=None,
                     help="Number of devices for data-parallel training (default: all)")
+    ap.add_argument("--spatial_parallel", type=int, default=None,
+                    help="Shard image height over this many devices per data "
+                         "replica (activation sharding for 1280px+ P6 runs)")
     ap.add_argument("--pretrained_backbone", type=str, default=None,
                     help="Backbone checkpoint from tools/import_backbone.py or "
                          "tools/pretrain_backbone.py (reference: timm "
@@ -285,6 +288,8 @@ def apply_overrides(config: Dict[str, Any], args: argparse.Namespace) -> Dict[st
         tr["resume"] = str(args.resume)
     if getattr(args, "pretrained_backbone", None) is not None:
         tr["pretrained_backbone"] = str(args.pretrained_backbone)
+    if getattr(args, "spatial_parallel", None) is not None:
+        tr["spatial_parallel"] = int(args.spatial_parallel)
     if getattr(args, "lr", None) is not None:
         tr["lr"] = float(args.lr)
     if getattr(args, "save_every", None) is not None:

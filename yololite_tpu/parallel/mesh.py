@@ -13,7 +13,12 @@ first-class data parallelism as its distributed story:
     no custom comm backend, which is the idiomatic JAX replacement for "none".
 
 Model sizes here are 0.55M-18M params (BENCHMARK.md:351-357): DP is the
-idiomatic ceiling; TP/PP would only add latency.
+idiomatic ceiling for parameters; TP/PP would only add latency. For LARGE
+activations instead (P6 workloads at 1280px+, where one image's activation
+footprint dominates HBM), the second mesh axis "spatial" shards the image
+height dim across chips: XLA GSPMD spatially partitions every convolution and
+inserts the halo exchanges over ICI automatically — the TPU-native equivalent
+of manual activation-sharding runtimes.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -49,16 +55,39 @@ def init_distributed(coordinator_address: Optional[str] = None,
     return len(jax.devices())
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first n devices (default: all)."""
+def make_mesh(n_devices: Optional[int] = None, devices=None,
+              n_spatial: int = 1) -> Mesh:
+    """Device mesh: ("data",) for pure DP, or ("data", "spatial") when
+    n_spatial > 1 — n_devices is the DATA-axis size; total devices used is
+    n_devices * n_spatial."""
     if devices is None:
         devices = jax.devices()
+    n_spatial = max(1, int(n_spatial))
+    if n_spatial > 1:
+        n_data = int(n_devices) if n_devices is not None else \
+            len(devices) // n_spatial
+        need = n_data * n_spatial
+        if len(devices) < need:
+            raise ValueError(f"mesh {n_data}x{n_spatial} needs {need} devices,"
+                             f" have {len(devices)}")
+        arr = np.asarray(devices[:need]).reshape(n_data, n_spatial)
+        return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
     if n_devices is not None:
         devices = devices[: int(n_devices)]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """[B,H,W,C] images: batch over 'data', height over 'spatial' (if present).
+    GSPMD propagates the spatial split through the conv stack with halo
+    exchanges; reductions/reshapes that need the full image re-gather
+    automatically."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -83,11 +112,13 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
         return {k: jax.device_put(v) for k, v in batch.items()}
     ds = data_sharding(mesh)
     rs = replicated_sharding(mesh)
+    ims = image_sharding(mesh)
     multi = _multiprocess(mesh)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        sh = ds if v.ndim >= 1 else rs
+        sh = ims if (k == "image" and v.ndim == 4) else \
+            (ds if v.ndim >= 1 else rs)
         if multi:
             out[k] = jax.make_array_from_process_local_data(sh, v)
         else:

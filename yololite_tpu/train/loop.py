@@ -127,12 +127,16 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     steps_per_epoch = max(1, len(train_loader))
     total_updates = steps_per_epoch * epochs
 
-    # device mesh: data-parallel over all (or the requested number of) devices
-    n_dp = int(tr.get("data_parallel") or len(jax.devices()))
+    # device mesh: data-parallel over all (or the requested number of)
+    # devices; optional second "spatial" axis shards the image height dim
+    # (activation sharding for large-image P6 workloads — GSPMD halo
+    # exchange, parallel/mesh.py).
+    n_sp = max(1, int(tr.get("spatial_parallel") or 1))
+    n_dp = int(tr.get("data_parallel") or max(1, len(jax.devices()) // n_sp))
     mesh = None
-    if n_dp > 1:
-        if batch_size % n_dp == 0:
-            mesh = make_mesh(n_dp)
+    if n_dp * n_sp > 1:
+        if batch_size % max(1, n_dp) == 0:
+            mesh = make_mesh(n_dp, n_spatial=n_sp)
         else:
             print(f"[dp] batch_size {batch_size} not divisible by {n_dp} "
                   f"devices — running single-device")
