@@ -99,7 +99,7 @@ class YoloDataset:
                  use_resize: bool = False, mosaic_p: float = 0.2,
                  cutmix_p: float = 0.2, augment: bool = True, seed: int = 0,
                  task: str = "detect", proto_down: int = 4,
-                 cache_images: bool = False):
+                 cache_images: bool = False, photometric: bool = True):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
@@ -111,7 +111,11 @@ class YoloDataset:
         self.mosaic_p = float(mosaic_p) if (is_train and augment) else 0.0
         self.cutmix_p = float(cutmix_p) if (is_train and augment) else 0.0
         self.augment_enabled = bool(augment) and is_train
-        self.transform = (TrainTransform(img_size, use_resize)
+        # photometric=False: color/noise ops run on-device inside the train
+        # step instead (training.device_augment, data/device_augment.py) —
+        # the host pipeline keeps geometry only.
+        self.photometric = bool(photometric)
+        self.transform = (self._make_train_transform(use_resize)
                           if self.augment_enabled else ValTransform(img_size, use_resize))
         self.val_transform = ValTransform(img_size, use_resize)
         self.seed = seed
@@ -125,6 +129,12 @@ class YoloDataset:
         self.image_cache: Optional[List[Optional[np.ndarray]]] = (
             [None] * len(self.img_files) if cache_images else None)
 
+    def _make_train_transform(self, use_resize: bool) -> TrainTransform:
+        if self.photometric:
+            return TrainTransform(self.img_size, use_resize)
+        return TrainTransform(self.img_size, use_resize, p_color=0.0,
+                              p_noise=0.0)
+
     def set_img_size(self, img_size: int):
         """Multi-scale training: switch the letterbox target size. Each size is
         its own cached XLA graph downstream (static shapes per size)."""
@@ -133,7 +143,7 @@ class YoloDataset:
         use_resize = getattr(self.val_transform, "use_resize", False)
         self.val_transform = ValTransform(self.img_size, use_resize)
         if isinstance(self.transform, TrainTransform):
-            self.transform = TrainTransform(self.img_size, use_resize)
+            self.transform = self._make_train_transform(use_resize)
         else:
             self.transform = ValTransform(self.img_size, use_resize)
 
@@ -144,7 +154,7 @@ class YoloDataset:
 
     def set_augment(self, enabled: bool):
         self.augment_enabled = enabled and self.is_train
-        self.transform = (TrainTransform(self.img_size, self.val_transform.use_resize)
+        self.transform = (self._make_train_transform(self.val_transform.use_resize)
                           if self.augment_enabled
                           else ValTransform(self.img_size, self.val_transform.use_resize))
         if not enabled:

@@ -108,11 +108,13 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     if config["model"].get("with_masks"):
         task = "segment"
     cache_images = bool(tr.get("cache_images", False))
+    device_augment = bool(tr.get("device_augment", False))
     train_ds = YoloDataset(config["dataset"]["train_images"],
                            config["dataset"]["train_labels"],
                            img_size=img_size, is_train=True, augment=use_augment,
                            max_boxes=max_boxes, use_resize=use_resize, task=task,
-                           cache_images=cache_images)
+                           cache_images=cache_images,
+                           photometric=not device_augment)
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,

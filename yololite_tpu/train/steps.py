@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from yololite_tpu.data.device_augment import photometric_augment
 from yololite_tpu.losses import LossConfig, SimOTALoss
 from yololite_tpu.models.detector import YOLOLiteMS, init_model
 from yololite_tpu.ops.decode import decode_anchorfree
@@ -66,6 +67,12 @@ class Trainer:
         self.accumulate = max(1, int(tr.get("accumulate", 1) or 1))
         self.mesh = mesh
         self._groups = None
+        # device-side photometric augmentation (data/device_augment.py):
+        # only active when the host pipeline is told to skip its photometric
+        # stage (training.device_augment: true) AND augmentation is on at all.
+        self.device_augment = bool(tr.get("device_augment", False)) and \
+            bool(tr.get("augment", True))
+        self._aug_key = jax.random.PRNGKey(int(tr.get("seed", 1337) or 0) + 7)
 
         # shardings are carried by the (committed) inputs: state is replicated
         # via replicate_tree, batches sharded via put_batch — jit propagates them.
@@ -161,7 +168,14 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
                     lr_vec: jnp.ndarray) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        x = normalize_images(batch["image"], self.model.dtype)
+        images = batch["image"]
+        if self.device_augment:
+            # photometric aug fused into the train graph (device_augment.py);
+            # keyed by the micro-step counter -> deterministic and
+            # resume-stable with no host RNG threading.
+            key = jax.random.fold_in(self._aug_key, state.micro)
+            images = photometric_augment(images, key)
+        x = normalize_images(images, self.model.dtype)
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
         if "masks" in batch:
