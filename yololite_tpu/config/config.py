@@ -169,6 +169,27 @@ def load_configs(
         val_lbl = _abs_from_yaml_dir(labels_cfg.get("val", ""), data_yaml) if labels_cfg.get("val") else ""
         test_lbl = _abs_from_yaml_dir(labels_cfg.get("test", ""), data_yaml) if labels_cfg.get("test") else ""
 
+        # COCO-json ingestion: train_json/val_json/test_json point at COCO
+        # instances files; they are converted (mtime-cached) to YOLO-txt dirs
+        # and win over label-dir fallbacks (data/coco_ingest.py).
+        coco_names = None
+        for split, key in (("train", "train_json"), ("val", "val_json"),
+                           ("test", "test_json")):
+            jp = data_cfg.get(key)
+            if not jp:
+                continue
+            from yololite_tpu.data.coco_ingest import coco_to_yolo_labels
+            lbl_dir, coco_names = coco_to_yolo_labels(
+                _abs_from_yaml_dir(jp, data_yaml))
+            if split == "train":
+                train_lbl = lbl_dir
+            elif split == "val":
+                val_lbl = lbl_dir
+            else:
+                test_lbl = lbl_dir
+        if coco_names and not data_cfg.get("names"):
+            data_cfg["names"] = coco_names
+
         train_lbl = _labels_or_fallback(train_lbl, train_img, "train", data_yaml)
         val_lbl = _labels_or_fallback(val_lbl, val_img, "val", data_yaml)
         test_lbl = _labels_or_fallback(test_lbl, test_img, "test", data_yaml)

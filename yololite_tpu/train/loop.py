@@ -94,6 +94,8 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     log_dir = config.get("logging", {}).get("log_dir", "runs/default")
     os.makedirs(log_dir, exist_ok=True)
     save_merged_config(config, log_dir)
+    from yololite_tpu.train.writers import MetricWriters
+    writers = MetricWriters(log_dir, config.get("logging"))
 
     num_classes = int(config["model"]["num_classes"])
     img_size = int(tr.get("img_size", 640))
@@ -320,6 +322,10 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             lr_now * hyper["head_mult"], elapsed,
             time.strftime("%Y-%m-%dT%H:%M:%S"),
         ])
+        writers.write(epoch + 1, {
+            "train/loss": avg_train, "val/loss": avg_val, "lr": lr_now,
+            **({f"val/{k}": v for k, v in coco_stats.items()} if do_eval
+               else {})})
 
         # ---- checkpointing (train.py:521-565) ----
         meta = build_meta(config, coco_stats, save_by, class_names, num_anchors)
@@ -361,6 +367,7 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
               f"AP50 {coco_stats['AP50']:.4f} AP75 {coco_stats['AP75']:.4f} | "
               f"took {elapsed:.1f}s")
 
+    writers.close()
     # ---- final plots + full evaluation on best ckpt (train.py:574-589) ----
     plot_metrics(os.path.join(log_dir, "metrics.csv"),
                  os.path.join(log_dir, "plots"), smooth=0.2, style="dark")
