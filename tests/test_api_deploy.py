@@ -141,3 +141,25 @@ def test_finetune_from_checkpoint(trained_run, tmp_path):
                                        "last_model_state.ckpt"))
     # model now points at the fine-tuned weights
     assert "ft" in model._src["ckpt"]
+
+
+def test_infer_stream_matches_per_frame(trained_run):
+    """infer_stream (pipelined, depth=2) must return the same results, in
+    order, as per-frame infer_image."""
+    import numpy as np
+    from yololite_tpu.deploy.predictor import Predictor
+
+    pred = Predictor(trained_run["ckpt"])
+    frames = []
+    for t in range(6):
+        f = (np.random.RandomState(t).rand(96, 128, 3) * 40).astype(np.uint8)
+        f[20:60, 10 + 8 * t:40 + 8 * t] = (30, 30, 220)
+        frames.append(f)
+
+    streamed = list(pred.infer_stream(iter(frames), conf=0.05))
+    assert len(streamed) == len(frames)
+    for f, res in zip(frames, streamed):
+        b, s, c = pred.infer_image(f, conf=0.05)
+        np.testing.assert_allclose(res["boxes"], b, atol=1e-4)
+        np.testing.assert_allclose(res["scores"], s, atol=1e-5)
+        np.testing.assert_array_equal(res["classes"], c)

@@ -44,15 +44,33 @@ def main():
     tracker = KalmanSortTracker(iou_threshold=args.track_iou,
                                 max_age=args.max_age, min_hits=args.min_hits)
 
+    def frames():
+        k = 0
+        while True:
+            ok, f = cap.read()
+            if not ok or (args.max_frames and k >= args.max_frames):
+                return
+            k += 1
+            yield f
+
     writer = None
     n, t0 = 0, time.perf_counter()
     fps = 0.0
-    while True:
-        ok, frame = cap.read()
-        if not ok or (args.max_frames and n >= args.max_frames):
-            break
-        boxes, scores, classes = pred.infer_image(frame, conf=args.conf,
-                                                  iou=args.iou)
+    # streaming pipeline: keeps 2 device calls in flight so host decode/
+    # preprocess overlaps TPU compute (Predictor.infer_stream). Results come
+    # back in order; the result dict has no frame, so re-pair via a queue.
+    from collections import deque
+    pending = deque()
+
+    def paired_stream():
+        for f in frames():
+            pending.append(f)
+            yield f
+
+    for res in pred.infer_stream(paired_stream(), conf=args.conf,
+                                 iou=args.iou):
+        frame = pending.popleft()
+        boxes, scores, classes = res["boxes"], res["scores"], res["classes"]
         tracks = tracker.update(boxes, scores, classes)
         for t in tracks:
             x1, y1, x2, y2 = [int(v) for v in t["bbox"]]

@@ -201,6 +201,50 @@ class Predictor:
             })
         return results
 
+    def infer_stream(self, frames_bgr, img_size: Optional[int] = None,
+                     conf: float = 0.25, iou: float = 0.45, max_det: int = 300,
+                     depth: int = 2):
+        """Streaming video inference: a generator over an iterable of BGR
+        frames that keeps `depth` device calls in flight (ROADMAP "streaming
+        video predictor").
+
+        JAX dispatch is asynchronous — NOT calling block_until_ready after
+        launch means frame i+1's host preprocess + H2D upload overlap frame
+        i's device compute (software double-buffering; no extra buffers
+        needed, the runtime owns the in-flight arrays). Results yield in
+        order as frame-result dicts like infer_image_profiled (boxes in
+        original pixels). Roughly hides min(host, device) time per frame;
+        single-frame latency is unchanged."""
+        from collections import deque
+        img_size = int(img_size or self.img_size)
+        fn = self._infer_fn(img_size, conf, iou, max_det)
+        inflight = deque()
+
+        def finalize(item):
+            out, (scale, px, py), (h, w), t_pre = item
+            t0 = time.perf_counter()
+            boxes, scores, classes, valid = (np.asarray(x) for x in out[:4])
+            m = valid[0]
+            b = unletterbox_boxes(boxes[0][m], scale, px, py, w, h)
+            t1 = time.perf_counter()
+            return {"boxes": b, "scores": scores[0][m],
+                    "classes": classes[0][m], "names": self.names,
+                    "speed": {"preprocess_ms": t_pre * 1e3,
+                              "sync_ms": (t1 - t0) * 1e3}}
+
+        for frame in frames_bgr:
+            t0 = time.perf_counter()
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            canvas, (scale, px, py) = self.preprocess(rgb, img_size)
+            batch = jnp.asarray(canvas[None])
+            t_pre = time.perf_counter() - t0
+            out = fn(self.variables, batch)   # async launch — no block
+            inflight.append((out, (scale, px, py), frame.shape[:2], t_pre))
+            if len(inflight) > max(1, depth):
+                yield finalize(inflight.popleft())
+        while inflight:
+            yield finalize(inflight.popleft())
+
     def warmup(self, img_size: Optional[int] = None, conf: float = 0.25,
                iou: float = 0.45, max_det: int = 300):
         img_size = int(img_size or self.img_size)
