@@ -153,3 +153,17 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(sd["params"]["layer"]["w"]),
                                np.arange(6.0).reshape(2, 3))
     assert m2["num_classes"] == 2
+
+
+def test_async_orbax_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    from yololite_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint_orbax_async, wait_for_checkpoints)
+    p = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    bs = {"m": np.ones(3, np.float32)}
+    path = str(tmp_path / "last.ckpt")
+    save_checkpoint_orbax_async(path, p, bs, {"backbone": "x"})
+    wait_for_checkpoints()
+    sd, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(sd["params"]["w"], p["w"])
+    assert meta["backbone"] == "x"

@@ -71,16 +71,46 @@ def save_checkpoint_orbax(path: str, params, batch_stats,
     return path
 
 
+_ASYNC_CKPTR = None
+
+
+def save_checkpoint_orbax_async(path: str, params, batch_stats,
+                                meta: Dict[str, Any]) -> str:
+    """Non-blocking orbax save (training continues while the previous epoch's
+    checkpoint streams to disk; ROADMAP "async orbax for large DP runs").
+    A singleton AsyncCheckpointer serializes successive saves — call
+    wait_for_checkpoints() before reading the newest one back."""
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    path = os.path.abspath(path)
+    state = {"params": _to_numpy(params), "batch_stats": _to_numpy(batch_stats)}
+    _ASYNC_CKPTR.save(path, args=ocp.args.StandardSave(state), force=True)
+    # meta goes to a SIBLING file: orbax materializes `path` itself via an
+    # atomic tmp-dir rename, so nothing may pre-create the final dir.
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, default=str)
+    return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async checkpoint writes have landed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def load_checkpoint_orbax(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(path)
     meta = {}
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    for meta_path in (os.path.join(path, "meta.json"), path + ".meta.json"):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return state, meta
 
 

@@ -328,21 +328,29 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                else {})})
 
         # ---- checkpointing (train.py:521-565) ----
+        # training.checkpoint_backend: msgpack (default, single file) or
+        # orbax_async (non-blocking dir writes for large DP runs; the step
+        # loop never waits on disk).
+        if str(tr.get("checkpoint_backend", "msgpack")) == "orbax_async":
+            from yololite_tpu.train.checkpoint import \
+                save_checkpoint_orbax_async as _save_ckpt
+        else:
+            _save_ckpt = save_checkpoint
         meta = build_meta(config, coco_stats, save_by, class_names, num_anchors)
         current = coco_stats.get(save_by, 0.0)
         if current > best_metric and use_augment:
             best_metric = current
-            save_checkpoint(best_ckpt, variables["params"],
-                            variables["batch_stats"], meta)
+            _save_ckpt(best_ckpt, variables["params"],
+                       variables["batch_stats"], meta)
             print(f"✓ New best {save_by}={best_metric:.4f} saved to {best_ckpt}")
         if current > best_metric_no_aug and not use_augment:
             best_metric_no_aug = current
-            save_checkpoint(best_no_aug, variables["params"],
-                            variables["batch_stats"], meta)
+            _save_ckpt(best_no_aug, variables["params"],
+                       variables["batch_stats"], meta)
             print(f"✓ New best (no-aug) {save_by}={best_metric_no_aug:.4f}")
         if (epoch + 1) % save_every == 0:
-            save_checkpoint(os.path.join(weight_dir, f"epoch_{epoch + 1}.ckpt"),
-                            variables["params"], variables["batch_stats"], meta)
+            _save_ckpt(os.path.join(weight_dir, f"epoch_{epoch + 1}.ckpt"),
+                       variables["params"], variables["batch_stats"], meta)
         extra = None
         if bool(tr.get("save_optimizer", False)):
             from flax import serialization as _ser
@@ -368,6 +376,8 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
               f"took {elapsed:.1f}s")
 
     writers.close()
+    from yololite_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints()  # land any in-flight async orbax writes
     # ---- final plots + full evaluation on best ckpt (train.py:574-589) ----
     plot_metrics(os.path.join(log_dir, "metrics.csv"),
                  os.path.join(log_dir, "plots"), smooth=0.2, style="dark")
