@@ -32,7 +32,10 @@ from yololite_tpu.train.steps import normalize_images
 
 class Predictor:
     def __init__(self, weights: str, use_letterbox: bool = True,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, quantize: Optional[str] = None):
+        """quantize="int8": run every conv in the dynamic-int8 path
+        (ops/quant.py) — halves inter-layer HBM traffic on the bandwidth-bound
+        edge models; validate accuracy with tools/evaluate.py first."""
         sd, meta = load_checkpoint(weights)
         self.meta = meta
         self.model = model_from_meta(meta, dtype=dtype)
@@ -40,6 +43,9 @@ class Predictor:
         self.img_size = int(meta.get("img_size", 640))
         self.names = meta.get("names")
         self.use_letterbox = use_letterbox
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
         self._compiled: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------------ #
@@ -48,11 +54,17 @@ class Predictor:
         if key not in self._compiled:
             model = self.model
             with_masks = bool(getattr(model, "with_masks", False))
+            quantize = self.quantize
 
             @jax.jit
             def fn(variables, images_u8):
                 x = normalize_images(images_u8, model.dtype)
-                out = model.apply(variables, x, train=False)
+                if quantize == "int8":
+                    from yololite_tpu.ops.quant import int8_inference
+                    with int8_inference():
+                        out = model.apply(variables, x, train=False)
+                else:
+                    out = model.apply(variables, x, train=False)
                 outs, protos = out if with_masks else (out, None)
                 d = decode_anchorfree(outs, img_size,
                                       num_classes=model.num_classes
