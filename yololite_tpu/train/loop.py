@@ -239,6 +239,9 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         freeze_bb = epoch < freeze_epochs
         # --profile: jax.profiler trace of a few warm steps of epoch 1
         profiling = bool(tr.get("profile")) and epoch == 1
+        step_metrics = []  # device arrays; ONE sync after the epoch so the
+        # dispatch loop never blocks (host fetch + H2D of step k+1 overlap
+        # step k's device compute — JAX async dispatch)
         for batch in train_loader:
             if profiling and nb == 2:
                 os.makedirs(os.path.join(log_dir, "profile"), exist_ok=True)
@@ -247,15 +250,16 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(
                 state, device_batch, trainer.lr_vector(lr, freeze_bb))
-            b = len(batch["image"])
-            running += np.array([float(metrics["total"]), float(metrics["box"]),
-                                 float(metrics["obj"]), float(metrics["cls"])]) / b
+            step_metrics.append((metrics, len(batch["image"])))
             nb += 1
             global_step += 1
             if profiling and nb == 7:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[profile] trace saved to {log_dir}/profile")
+        for metrics, b in step_metrics:
+            running += np.array([float(metrics["total"]), float(metrics["box"]),
+                                 float(metrics["obj"]), float(metrics["cls"])]) / b
         avg_train = running[0] / max(1, nb)
         train_losses.append(avg_train)
         scheduler.end_epoch(epoch)
