@@ -33,7 +33,6 @@ def main():
     from yololite_tpu.models.detector import build_model_from_config, init_model
     from yololite_tpu.ops.decode import decode_anchorfree
     from yololite_tpu.ops.nms import batched_nms, yolo_scores
-    from yololite_tpu.train.steps import normalize_images
 
     img_size = 640
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
@@ -46,12 +45,18 @@ def main():
            "training": {"img_size": img_size}}
     model = build_model_from_config(cfg, dtype=jnp.bfloat16)
     params, batch_stats = init_model(model, img_size, seed=0, batch=1)
+    # exact normalize-into-stem fold (deploy/fold_norm.py): the deployed graph
+    # consumes raw uint8 and never materializes the normalized image (~10%).
+    from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
+                                               raw_cast)
+    params, batch_stats, _folded = fold_normalization(params, batch_stats)
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
     def infer(variables, images_u8):
-        x = normalize_images(images_u8, jnp.bfloat16)
-        outs = model.apply(variables, x, train=False)
+        with folded_stem():
+            outs = model.apply(variables, raw_cast(images_u8, jnp.bfloat16),
+                               train=False)
         d = decode_anchorfree(outs, img_size)
         scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
                                       d["cls"].astype(jnp.float32))

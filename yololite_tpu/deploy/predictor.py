@@ -32,14 +32,24 @@ from yololite_tpu.train.steps import normalize_images
 
 class Predictor:
     def __init__(self, weights: str, use_letterbox: bool = True,
-                 dtype=jnp.bfloat16, quantize: Optional[str] = None):
+                 dtype=jnp.bfloat16, quantize: Optional[str] = None,
+                 fold_normalize: bool = True):
         """quantize="int8": run every conv in the dynamic-int8 path
-        (ops/quant.py) — halves inter-layer HBM traffic on the bandwidth-bound
-        edge models; validate accuracy with tools/evaluate.py first."""
+        (ops/quant.py) — validate accuracy with tools/evaluate.py first.
+        fold_normalize=True (default): fold the ImageNet input normalization
+        into the stem conv (deploy/fold_norm.py) — exact, ~10% faster on the
+        bandwidth-bound edge models."""
         sd, meta = load_checkpoint(weights)
         self.meta = meta
         self.model = model_from_meta(meta, dtype=dtype)
         self.variables = {"params": sd["params"], "batch_stats": sd["batch_stats"]}
+        self.folded = False
+        if fold_normalize and quantize is None:
+            from yololite_tpu.deploy.fold_norm import fold_normalization
+            fp, fbs, ok = fold_normalization(sd["params"], sd["batch_stats"])
+            if ok:
+                self.variables = {"params": fp, "batch_stats": fbs}
+                self.folded = True
         self.img_size = int(meta.get("img_size", 640))
         self.names = meta.get("names")
         self.use_letterbox = use_letterbox
@@ -55,15 +65,24 @@ class Predictor:
             model = self.model
             with_masks = bool(getattr(model, "with_masks", False))
             quantize = self.quantize
+            folded = self.folded
 
             @jax.jit
             def fn(variables, images_u8):
-                x = normalize_images(images_u8, model.dtype)
                 if quantize == "int8":
                     from yololite_tpu.ops.quant import int8_inference
+                    x = normalize_images(images_u8, model.dtype)
                     with int8_inference():
                         out = model.apply(variables, x, train=False)
+                elif folded:
+                    from yololite_tpu.deploy.fold_norm import (folded_stem,
+                                                               raw_cast)
+                    with folded_stem():
+                        out = model.apply(variables,
+                                          raw_cast(images_u8, model.dtype),
+                                          train=False)
                 else:
+                    x = normalize_images(images_u8, model.dtype)
                     out = model.apply(variables, x, train=False)
                 outs, protos = out if with_masks else (out, None)
                 d = decode_anchorfree(outs, img_size,
