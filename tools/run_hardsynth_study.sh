@@ -18,10 +18,11 @@ run() {
   grep -a "Epoch $epochs/" "runs/hardsynth/$name.log" | tail -1
 }
 
+# scope fitted to the single-chip wall-clock budget: edge_m behaves like
+# edge_s on synthetic suites (round-1 study) and is dropped from the queue.
 run edge_n_dev  configs/models/edge_n.yaml  100 64
-run edge_s_dev  configs/models/edge_s.yaml  100 64
-run edge_m_dev  configs/models/edge_m.yaml  100 64
-run yololite_n_dev configs/models/yololite_n.yaml 60 32
+run edge_s_dev  configs/models/edge_s.yaml  60 64
+run yololite_n_dev configs/models/yololite_n.yaml 40 32
 echo "study done $(date +%T)"
 
 # approx-vs-exact top-k validation on hard data (VERDICT weak #7): same model,
@@ -32,10 +33,10 @@ cfg = yaml.safe_load(open("configs/train/hardsynth_device_aug.yaml"))
 cfg["loss"]["approx_topk"] = False
 open("/tmp/hardsynth_exact.yaml", "w").write(yaml.safe_dump(cfg, sort_keys=False))
 PY
-echo "=== edge_n_exact (epochs=60) $(date +%T) ==="
+echo "=== edge_n_exact (epochs=40) $(date +%T) ==="
 timeout 10800 python tools/train.py \
   --model configs/models/edge_n.yaml --train /tmp/hardsynth_exact.yaml \
-  --data "$DATA" --epochs 60 --batch_size 64 --img_size 640 \
+  --data "$DATA" --epochs 40 --batch_size 64 --img_size 640 \
   > runs/hardsynth/edge_n_exact.log 2>&1
 echo "rc=$?" >> runs/hardsynth/edge_n_exact.log
 echo "all runs done $(date +%T)"
