@@ -20,7 +20,7 @@ run() {
 
 # scope fitted to the single-chip wall-clock budget: edge_m behaves like
 # edge_s on synthetic suites (round-1 study) and is dropped from the queue.
-run edge_n_dev  configs/models/edge_n.yaml  100 64
+# edge_n_dev completed to epoch 64 in the first pass (runs/hardsynth_edge_n_dev)
 run edge_s_dev  configs/models/edge_s.yaml  60 64
 run yololite_n_dev configs/models/yololite_n.yaml 40 32
 echo "study done $(date +%T)"

@@ -239,9 +239,13 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
         freeze_bb = epoch < freeze_epochs
         # --profile: jax.profiler trace of a few warm steps of epoch 1
         profiling = bool(tr.get("profile")) and epoch == 1
-        step_metrics = []  # device arrays; ONE sync after the epoch so the
-        # dispatch loop never blocks (host fetch + H2D of step k+1 overlap
-        # step k's device compute — JAX async dispatch)
+        # NOTE: metric readback syncs once per step. Deferring the sync to
+        # epoch end (to overlap host prep with device compute) leaks host
+        # memory without bound on tunneled backends (the client buffers every
+        # enqueued execution until its results are read — observed 130 GB RSS
+        # and an OOM kill after ~60 epochs); per-step readback also bounds
+        # the dispatch queue. The host pipeline dominates epoch time on
+        # 1-core hosts anyway, so the overlap bought nothing measurable.
         for batch in train_loader:
             if profiling and nb == 2:
                 os.makedirs(os.path.join(log_dir, "profile"), exist_ok=True)
@@ -250,16 +254,15 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(
                 state, device_batch, trainer.lr_vector(lr, freeze_bb))
-            step_metrics.append((metrics, len(batch["image"])))
+            b = len(batch["image"])
+            running += np.array([float(metrics["total"]), float(metrics["box"]),
+                                 float(metrics["obj"]), float(metrics["cls"])]) / b
             nb += 1
             global_step += 1
             if profiling and nb == 7:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[profile] trace saved to {log_dir}/profile")
-        for metrics, b in step_metrics:
-            running += np.array([float(metrics["total"]), float(metrics["box"]),
-                                 float(metrics["obj"]), float(metrics["cls"])]) / b
         avg_train = running[0] / max(1, nb)
         train_losses.append(avg_train)
         scheduler.end_epoch(epoch)
