@@ -55,15 +55,7 @@ def main():
                             dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     # load-back sanity run (reference export dry-run parity)
     import numpy as np
-    if args.runtime == "onnx":
-        from yololite_tpu.deploy.onnx_runtime import OnnxGraphExecutor
-        call = OnnxGraphExecutor.from_file(path)
-        meta = {"img_size": args.img_size or 640}
-        if os.path.exists(path + ".json"):
-            import json
-            meta = json.load(open(path + ".json"))
-    else:
-        call, meta = load_exported(path)
+    call, meta = load_exported(path)
     x = np.zeros((args.batch, meta["img_size"], meta["img_size"], 3), np.uint8)
     out = call(x)
     print(f"Exported {args.format} artifact -> {path}")

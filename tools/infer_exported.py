@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Inference from a serialized StableHLO artifact (no model code needed).
+"""Inference from an exported artifact (no model code needed).
 
 Parity with the reference's deployed ONNX inference CLIs
 (export/infer_onnx.py, export/infer_onnx_decoded.py): loads the exported
-artifact + its meta.json sidecar, runs letterbox preprocessing, executes the
-artifact, applies host-side postprocessing for the "decoded" format (sigmoid +
-score + per-class NMS via the native C++ kernel) or unpacks the baked-in NMS
-for the "nms" format, back-maps boxes, draws, and reports per-stage timings.
+artifact (.stablehlo, .tflite, or .onnx) + its meta.json sidecar, runs
+letterbox preprocessing, executes the artifact, applies host-side
+postprocessing for the "decoded" format (sigmoid + score + per-class NMS via
+the native C++ kernel) or unpacks the baked-in NMS for the "nms" format,
+back-maps boxes, draws, and reports per-stage timings.
 
     python tools/infer_exported.py --artifact model_decoded.stablehlo --img x.jpg
+    python tools/infer_exported.py --artifact model_decoded.onnx --img x.jpg
 """
 
 import argparse

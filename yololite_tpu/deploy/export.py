@@ -8,8 +8,10 @@ export/export_torchscript.py:173-228):
   - "nms"     : TPU-native extra — the full graph incl. class-aware NMS
 The TPU-native artifact is a `jax.export` serialized StableHLO module
 (portable across processes/versions) + a meta.json sidecar so deploy tools can
-rebuild pre/post-processing. ONNX export is gated on onnx availability (not
-present in this environment; the StableHLO artifact is the deploy format).
+rebuild pre/post-processing. CPU-portable artifacts: TFLite (`export_tflite`)
+and first-party ONNX (`export_onnx` — jaxpr compiled straight to an opset-17
+graph, no onnx/tf2onnx dependency; runnable via onnxruntime or the in-repo
+numpy executor `deploy/onnx_run.py`).
 """
 
 from __future__ import annotations
@@ -98,9 +100,12 @@ def export_model(weights: str, out_dir: Optional[str] = None,
 
 def load_exported(art_path: str):
     """Load a serialized artifact; returns (callable(images_u8), meta dict).
-    Dispatches on extension: .tflite -> host-CPU TFLite, else StableHLO."""
+    Dispatches on extension: .tflite -> host-CPU TFLite, .onnx -> first-party
+    ONNX executor (or onnxruntime), else StableHLO."""
     if art_path.endswith(".tflite"):
         return load_tflite(art_path)
+    if art_path.endswith(".onnx"):
+        return load_onnx_artifact(art_path)
     from jax import export as jax_export
     with open(art_path, "rb") as f:
         exported = jax_export.deserialize(f.read())
@@ -119,7 +124,7 @@ def load_exported(art_path: str):
 # forward(+decode[+NMS]) graph is lowered through jax2tf into a TensorFlow
 # graph and compiled to a TFLite flatbuffer — a fully self-contained artifact
 # that runs on any host CPU (XNNPACK) with zero JAX/TPU dependency, covering
-# the same raw/decoded/nms duality. ONNX emission lives in deploy/onnx.py.
+# the same raw/decoded/nms duality. ONNX emission lives in deploy/onnx_emit.py.
 # --------------------------------------------------------------------------- #
 
 def _tf_module_for(fn, variables, batch: int, img_size: int, out_names):
@@ -251,38 +256,81 @@ def load_tflite(art_path: str):
 
 def export_onnx(weights: str, out_dir: Optional[str] = None,
                 fmt: str = "decoded", batch: int = 1,
-                img_size: Optional[int] = None, **kw) -> str:
+                img_size: Optional[int] = None, conf: float = 0.001,
+                iou: float = 0.65, max_det: int = 300) -> str:
     """ONNX export (reference export/export_onnx.py:179-332 parity).
 
-    Route: checkpoint -> jax2tf SavedModel -> tf2onnx -> opset-17 .onnx.
-    The tf2onnx step needs the `tf2onnx` + `onnx` packages; when absent, the
-    SavedModel is still produced and the error carries the one-line recipe to
-    finish the conversion on any machine. The fully self-contained CPU deploy
-    artifact of this repo is TFLite (`export_tflite`, raw/decoded/nms duality,
-    parity-tested in tests/test_export_cpu.py) — ONNX is provided for
-    ecosystems standardized on onnxruntime.
+    First-party route: the jitted deploy function's jaxpr is compiled directly
+    to an opset-17 ONNX graph (`deploy/onnx_emit.py`) and serialized with the
+    in-repo protobuf codec (`deploy/onnx_proto.py`) — no onnx/tf2onnx
+    dependency. Matching the reference, ONNX covers the "raw" and "decoded"
+    formats with NMS on the host (tools/infer_onnx.py:143-233); the in-graph
+    "nms" format remains StableHLO/TFLite-only. Run the artifact with
+    onnxruntime, or anywhere with `deploy/onnx_run.py` (numpy executor).
     """
-    path = export_tflite(weights, out_dir=out_dir, fmt=fmt, batch=batch,
-                         img_size=img_size, keep_saved_model=True, **kw)
-    sm_dir = path.replace(".tflite", "_savedmodel").replace(
-        f"_{fmt}.tflite", f"_{fmt}_savedmodel")
-    onnx_path = path.replace(".tflite", ".onnx")
-    try:
-        import tf2onnx  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            f"ONNX conversion needs tf2onnx. SavedModel is ready at {sm_dir}; "
-            f"finish with: python -m tf2onnx.convert --saved-model {sm_dir} "
-            f"--output {onnx_path} --opset 17"
-        ) from e
-    import subprocess
-    import sys
-    subprocess.run([sys.executable, "-m", "tf2onnx.convert",
-                    "--saved-model", sm_dir, "--output", onnx_path,
-                    "--opset", "17"], check=True)
-    with open(path + ".json") as f:
-        meta = json.load(f)
-    meta["runtime"] = "onnxruntime"
+    if fmt == "nms":
+        raise ValueError(
+            "ONNX export covers fmt='raw'/'decoded' with host-side NMS "
+            "(reference export_onnx.py parity); use export_tflite/"
+            "export_model for the in-graph-NMS artifact.")
+    from yololite_tpu.deploy.onnx_emit import export_fn_to_onnx
+
+    sd, meta = load_checkpoint(weights)
+    model = model_from_meta(meta, dtype=jnp.float32)  # fp32 graph for CPU
+    img_size = int(img_size or meta.get("img_size", 640))
+    variables = {"params": jax.tree.map(jnp.asarray, sd["params"]),
+                 "batch_stats": jax.tree.map(jnp.asarray, sd["batch_stats"])}
+
+    fn = _build_fn(model, img_size, fmt, conf, iou, max_det)
+    images_spec = jax.ShapeDtypeStruct((batch, img_size, img_size, 3),
+                                       jnp.uint8)
+    if fmt == "raw":
+        n_levels = len(jax.eval_shape(lambda im: fn(variables, im),
+                                      images_spec))
+        out_names = [f"level_{i}" for i in range(n_levels)]
+    else:  # decoded: dict outputs flatten in sorted-key order (jax pytree)
+        out_names = sorted(_OUT_NAMES["decoded"])
+
+    out_dir = out_dir or os.path.dirname(os.path.abspath(weights))
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(weights))[0]
+    onnx_path = os.path.join(out_dir, f"{stem}_{fmt}.onnx")
+    export_fn_to_onnx(lambda im: fn(variables, im), (images_spec,), onnx_path,
+                      input_names=["images"], output_names=out_names,
+                      model_name=f"{meta.get('model_name', stem)}_{fmt}",
+                      doc=f"YoloLite-TPU {fmt} deploy graph @{img_size}px")
     with open(onnx_path + ".json", "w") as f:
-        json.dump(meta, f, indent=2)
+        json.dump({"format": fmt, "img_size": img_size, "batch": batch,
+                   "conf": conf, "iou": iou, "max_det": max_det,
+                   "names": meta.get("names"),
+                   "num_classes": meta.get("num_classes"),
+                   "outputs": out_names, "letterbox": True,
+                   "normalize": "imagenet/in-graph", "runtime": "onnx",
+                   "source_ckpt": os.path.abspath(weights)}, f, indent=2)
     return onnx_path
+
+
+def load_onnx_artifact(art_path: str):
+    """Load a .onnx artifact; returns (callable(images_u8) -> outputs, meta).
+
+    Output layout matches the other artifact kinds: "decoded" returns the
+    {boxes_xyxy, cls_logits, obj_logits} dict, "raw" a tuple of level maps.
+    """
+    from yololite_tpu.deploy.onnx_run import load_onnx
+
+    meta = {}
+    if os.path.exists(art_path + ".json"):
+        with open(art_path + ".json") as f:
+            meta = json.load(f)
+    graph = load_onnx(art_path)
+    out_names = meta.get("outputs") or graph.output_names
+    as_dict = meta.get("format") == "decoded"
+
+    def call(images_u8):
+        import numpy as np
+        outs = graph(np.asarray(images_u8, np.uint8))
+        if as_dict:
+            return dict(zip(out_names, outs))
+        return tuple(outs)
+
+    return call, meta
