@@ -84,8 +84,18 @@ def main():
         "mask": np.tile(np.array([True] + [False] * (m - 1)), (local_batch, 1)),
     }
     device_batch = trainer.put_batch(batch_np)
-    state, metrics = trainer.train_step(state, device_batch,
-                                        trainer.lr_vector(1e-3))
+
+    # AOT-compile BEFORE the first cross-process collective, then rendezvous
+    # at a host-side coordination-service barrier. The gloo transport that
+    # backs CPU collectives gives the peer only ~30s to show up at context
+    # init; on a contended 1-core host the two processes' jit compiles can
+    # skew past that, so the compile must not sit inside the window.
+    lr = trainer.lr_vector(1e-3)
+    compiled_step = trainer.train_step.lower(state, device_batch, lr).compile()
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("train_step_compiled", 600_000)
+
+    state, metrics = compiled_step(state, device_batch, lr)
     total = float(metrics["total"])  # fully replicated -> locally readable
     assert np.isfinite(total), f"non-finite loss: {total}"
 
