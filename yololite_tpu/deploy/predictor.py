@@ -57,9 +57,11 @@ class Predictor:
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
         self._compiled: Dict[tuple, callable] = {}
+        self._aot: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------ #
-    def _infer_fn(self, img_size: int, conf: float, iou: float, max_det: int):
+    def _make_fn(self, img_size: int, conf: float, iou: float, max_det: int):
+        """Raw (unjitted) deploy-graph function for this parameter set."""
         key = (img_size, conf, iou, max_det)
         if key not in self._compiled:
             model = self.model
@@ -67,7 +69,6 @@ class Predictor:
             quantize = self.quantize
             folded = self.folded
 
-            @jax.jit
             def fn(variables, images_u8):
                 if quantize == "int8":
                     from yololite_tpu.ops.quant import int8_inference
@@ -104,6 +105,34 @@ class Predictor:
             self._compiled[key] = fn
         return self._compiled[key]
 
+    def _run(self, img_size: int, conf: float, iou: float, max_det: int,
+             batch_np: np.ndarray):
+        """Dispatch one deploy-graph call (async — caller block_until_readys).
+
+        Per (params, batch-shape) the graph is AOT-compiled with XLA-chosen
+        input layouts and the weights pre-placed into them (deploy/layout.py)
+        so no relayout copy runs per call; falls back to plain jit where the
+        layout API is unavailable.
+        """
+        skey = (img_size, conf, iou, max_det, batch_np.shape[0])
+        entry = self._aot.get(skey)
+        if entry is None:
+            from yololite_tpu.deploy.layout import (
+                compile_with_preferred_layouts, place)
+            fn = self._make_fn(img_size, conf, iou, max_det)
+            compiled, fmts = compile_with_preferred_layouts(
+                fn, self.variables,
+                jax.ShapeDtypeStruct(batch_np.shape, np.uint8))
+            if compiled is not None:
+                entry = (compiled, place(self.variables, fmts[0]), fmts[1])
+            else:
+                entry = (jax.jit(fn), self.variables, None)
+            self._aot[skey] = entry
+        call, variables, img_fmt = entry
+        x = (jax.device_put(batch_np, img_fmt) if img_fmt is not None
+             else jnp.asarray(batch_np))
+        return call(variables, x)
+
     # ------------------------------------------------------------------ #
     def preprocess(self, img_rgb: np.ndarray, img_size: int):
         """Returns (canvas, ((sx, sy), pad_x, pad_y)); letterbox is uniform,
@@ -130,11 +159,10 @@ class Predictor:
         t0 = time.perf_counter()
         img_rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
         canvas, (scale, px, py) = self.preprocess(img_rgb, img_size)
-        batch = jnp.asarray(canvas[None])
         t1 = time.perf_counter()
 
-        fn = self._infer_fn(img_size, conf, iou, max_det)
-        out = jax.block_until_ready(fn(self.variables, batch))
+        out = jax.block_until_ready(
+            self._run(img_size, conf, iou, max_det, canvas[None]))
         with_masks = len(out) == 5
         boxes, scores, classes, valid = out[:4]
         t2 = time.perf_counter()
@@ -195,8 +223,8 @@ class Predictor:
         batch[:n] = np.stack(canvases)
         t1 = time.perf_counter()
 
-        fn = self._infer_fn(img_size, conf, iou, max_det)
-        out = jax.block_until_ready(fn(self.variables, jnp.asarray(batch)))
+        out = jax.block_until_ready(
+            self._run(img_size, conf, iou, max_det, batch))
         with_masks = len(out) == 5
         boxes, scores, classes, valid = (np.asarray(x) for x in out[:4])
         t2 = time.perf_counter()
@@ -248,7 +276,6 @@ class Predictor:
         single-frame latency is unchanged."""
         from collections import deque
         img_size = int(img_size or self.img_size)
-        fn = self._infer_fn(img_size, conf, iou, max_det)
         inflight = deque()
 
         def finalize(item):
@@ -267,9 +294,9 @@ class Predictor:
             t0 = time.perf_counter()
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             canvas, (scale, px, py) = self.preprocess(rgb, img_size)
-            batch = jnp.asarray(canvas[None])
             t_pre = time.perf_counter() - t0
-            out = fn(self.variables, batch)   # async launch — no block
+            out = self._run(img_size, conf, iou, max_det,
+                            canvas[None])     # async launch — no block
             inflight.append((out, (scale, px, py), frame.shape[:2], t_pre))
             if len(inflight) > max(1, depth):
                 yield finalize(inflight.popleft())
@@ -279,6 +306,6 @@ class Predictor:
     def warmup(self, img_size: Optional[int] = None, conf: float = 0.25,
                iou: float = 0.45, max_det: int = 300):
         img_size = int(img_size or self.img_size)
-        fn = self._infer_fn(img_size, conf, iou, max_det)
         jax.block_until_ready(
-            fn(self.variables, jnp.zeros((1, img_size, img_size, 3), jnp.uint8)))
+            self._run(img_size, conf, iou, max_det,
+                      np.zeros((1, img_size, img_size, 3), np.uint8)))
