@@ -49,7 +49,12 @@ def main():
     # consumes raw uint8 and never materializes the normalized image (~10%).
     from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
                                                raw_cast)
+    from yololite_tpu.deploy.fuse_head import fuse_head_params
+    import dataclasses
     params, batch_stats, _folded = fold_normalization(params, batch_stats)
+    # deploy-time head fusion: one 1x1 conv per level instead of 3 (exact)
+    params, _fused = fuse_head_params(params)
+    model = dataclasses.replace(model, fused_head=True)
     variables = {"params": params, "batch_stats": batch_stats}
 
     def infer_fn(variables, images_u8):

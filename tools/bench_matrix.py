@@ -46,21 +46,24 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
     import jax.numpy as jnp
     from yololite_tpu.models.detector import build_model_from_config, init_model
     from yololite_tpu.models import count_params
+    from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
+                                               raw_cast)
+    from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
     from yololite_tpu.ops.decode import decode_anchorfree
     from yololite_tpu.ops.masks import assemble_masks_batch
     from yololite_tpu.ops.nms import batched_nms, yolo_scores
-    from yololite_tpu.train.steps import normalize_images
 
     cfg = {"model": model_cfg(mname, with_masks=with_masks),
            "training": {"img_size": img, "use_p2": use_p2, "use_p6": use_p6}}
     model = build_model_from_config(cfg, dtype=jnp.bfloat16)
     params, bstats = init_model(model, img, 0, 1)
+    params, bstats, _ = fold_normalization(params, bstats)
     variables = {"params": params, "batch_stats": bstats}
     nparams = count_params(params)
 
-    @jax.jit
     def infer(v, x):
-        out = model.apply(v, normalize_images(x, jnp.bfloat16), train=False)
+        with folded_stem():
+            out = model.apply(v, raw_cast(x, jnp.bfloat16), train=False)
         outs, protos = out if model.with_masks else (out, None)
         d = decode_anchorfree(outs, img, num_classes=model.num_classes
                               if model.with_masks else None)
@@ -78,7 +81,17 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
         return b, sc, cl, v_
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray((rng.rand(batch, img, img, 3) * 255).astype(np.uint8))
+    x_np = (rng.rand(batch, img, img, 3) * 255).astype(np.uint8)
+    # deploy path = AOT with XLA-preferred input layouts (deploy/layout.py)
+    comp, fmts = compile_with_preferred_layouts(
+        infer, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
+    if comp is not None:
+        variables = place(variables, fmts[0])
+        x = place(x_np, fmts[1])
+        infer = comp
+    else:
+        x = jnp.asarray(x_np)
+        infer = jax.jit(infer)
     for _ in range(3):
         jax.block_until_ready(infer(variables, x))
     t0 = time.perf_counter()
@@ -95,6 +108,12 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
 
 
 def main():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cases = [
         ("edge_n@640 (headline)", "edge_n", 640, 128, {}),
         ("edge_n@320", "edge_n", 320, 256, {}),

@@ -50,6 +50,14 @@ class Predictor:
             if ok:
                 self.variables = {"params": fp, "batch_stats": fbs}
                 self.folded = True
+        # exact deploy-time head fusion (one 1x1 conv/level — fuse_head.py)
+        import dataclasses
+        from yololite_tpu.deploy.fuse_head import fuse_head_params
+        fp, ok = fuse_head_params(self.variables["params"])
+        if ok:
+            self.variables = {"params": fp,
+                              "batch_stats": self.variables["batch_stats"]}
+            self.model = dataclasses.replace(self.model, fused_head=True)
         self.img_size = int(meta.get("img_size", 640))
         self.names = meta.get("names")
         self.use_letterbox = use_letterbox

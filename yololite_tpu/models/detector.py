@@ -56,6 +56,7 @@ class DetectHead(nn.Module):
     head_depth: int = 1
     p_obj: float = 0.01
     num_prototypes: int = 0
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -65,18 +66,33 @@ class DetectHead(nn.Module):
         A, C, K = self.num_anchors, self.num_classes, self.num_prototypes
         obj_bias = -math.log((1.0 - self.p_obj) / self.p_obj)
         cls_bias = (-math.log(C)) if C > 1 else 0.0
-        box = nn.Conv(A * 4, (1, 1), dtype=self.dtype, name="box",
-                      bias_init=constant_bias_init(0.0))(p)
-        obj = nn.Conv(A * 1, (1, 1), dtype=self.dtype, name="obj",
-                      bias_init=constant_bias_init(obj_bias))(p)
-        cls = nn.Conv(A * C, (1, 1), dtype=self.dtype, name="cls",
-                      bias_init=constant_bias_init(cls_bias))(p)
+        if self.fused:
+            # Deploy-time variant: ONE 1x1 conv emits box|obj|cls|coef so the
+            # trunk activation is read from HBM once instead of 3-4 times
+            # (~0.55 ms/batch on edge_n @640 b128 — each separate head conv is
+            # bandwidth-bound on its input). Params come from
+            # deploy/fuse_head.fuse_head_params (exact concat of the trained
+            # kernels; checkpoints keep the reference's split layout).
+            tot = A * (5 + C + K)
+            out = nn.Conv(tot, (1, 1), dtype=self.dtype, name="fused_out")(p)
+            box = out[..., :A * 4]
+            obj = out[..., A * 4:A * 5]
+            cls = out[..., A * 5:A * (5 + C)]
+            coef = out[..., A * (5 + C):] if K > 0 else None
+        else:
+            box = nn.Conv(A * 4, (1, 1), dtype=self.dtype, name="box",
+                          bias_init=constant_bias_init(0.0))(p)
+            obj = nn.Conv(A * 1, (1, 1), dtype=self.dtype, name="obj",
+                          bias_init=constant_bias_init(obj_bias))(p)
+            cls = nn.Conv(A * C, (1, 1), dtype=self.dtype, name="cls",
+                          bias_init=constant_bias_init(cls_bias))(p)
+            coef = (nn.Conv(A * K, (1, 1), dtype=self.dtype, name="mcoef")(p)
+                    if K > 0 else None)
         B, S1, S2, _ = box.shape
         parts = [box.reshape(B, S1, S2, A, 4),
                  obj.reshape(B, S1, S2, A, 1),
                  cls.reshape(B, S1, S2, A, C)]
         if K > 0:
-            coef = nn.Conv(A * K, (1, 1), dtype=self.dtype, name="mcoef")(p)
             parts.append(jnp.tanh(coef.reshape(B, S1, S2, A, K)))
         out = jnp.concatenate(parts, axis=-1)                 # [B,S,S,A,5+C+K]
         return jnp.transpose(out, (0, 3, 1, 2, 4))            # [B,A,S,S,5+C+K]
@@ -112,6 +128,7 @@ class YOLOLiteMS(nn.Module):
     cpu_variant: bool = False  # True == reference YOLOLiteMS_CPU
     with_masks: bool = False   # instance segmentation (V2 capability)
     num_prototypes: int = 32
+    fused_head: bool = False   # deploy-time single-conv heads (fuse_head.py)
     dtype: Dtype = jnp.float32
 
     # ---- static self-description (reference get_strides :227-231) ---------- #
@@ -184,6 +201,7 @@ class YOLOLiteMS(nn.Module):
         K = self.num_prototypes if self.with_masks else 0
         head = lambda a, nm: DetectHead(a, C, ch, self.head_depth,
                                         num_prototypes=K,
+                                        fused=self.fused_head,
                                         dtype=self.dtype, name=nm)
         outs = []
         li = 0
