@@ -47,18 +47,21 @@ def main():
     params, batch_stats = init_model(model, img_size, seed=0, batch=1)
     # exact normalize-into-stem fold (deploy/fold_norm.py): the deployed graph
     # consumes raw uint8 and never materializes the normalized image (~10%).
-    from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
-                                               raw_cast)
+    from yololite_tpu.deploy.fold_norm import fold_normalization, raw_cast
     from yololite_tpu.deploy.fuse_head import fuse_head_params
+    from yololite_tpu.deploy.s2d import (pack_s2d, rewrite_stem_to_s2d,
+                                         s2d_stem)
     import dataclasses
     params, batch_stats, _folded = fold_normalization(params, batch_stats)
     # deploy-time head fusion: one 1x1 conv per level instead of 3 (exact)
     params, _fused = fuse_head_params(params)
+    # space-to-depth stem (exact rewrite; input packed host-side, deploy/s2d.py)
+    params, _s2d = rewrite_stem_to_s2d(params)
     model = dataclasses.replace(model, fused_head=True)
     variables = {"params": params, "batch_stats": batch_stats}
 
     def infer_fn(variables, images_u8):
-        with folded_stem():
+        with s2d_stem():
             outs = model.apply(variables, raw_cast(images_u8, jnp.bfloat16),
                                train=False)
         d = decode_anchorfree(outs, img_size)
@@ -66,10 +69,11 @@ def main():
                                       d["cls"].astype(jnp.float32))
         return batched_nms(d["box"].astype(jnp.float32), scores, classes,
                            iou_th=0.65, conf_th=0.25, max_det=100,
-                           pre_nms_topk=256)
+                           pre_nms_topk=256, approx_topk=True)
 
     rng = np.random.RandomState(0)
-    images_np = (rng.rand(batch, img_size, img_size, 3) * 255).astype(np.uint8)
+    images_np = pack_s2d(
+        (rng.rand(batch, img_size, img_size, 3) * 255).astype(np.uint8))
 
     # AOT-compile with XLA-chosen input layouts and place weights + image
     # buffer directly into them — the program then starts at the stem conv

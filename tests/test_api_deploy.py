@@ -163,3 +163,24 @@ def test_infer_stream_matches_per_frame(trained_run):
         np.testing.assert_allclose(res["boxes"], b, atol=1e-4)
         np.testing.assert_allclose(res["scores"], s, atol=1e-5)
         np.testing.assert_array_equal(res["classes"], c)
+
+
+def test_predictor_s2d_matches_plain(trained_run):
+    """s2d_stem=True: same detections as the plain path on a trained ckpt
+    (f32 — the rewrite is exact; see tests/test_s2d.py for the kernel math)."""
+    import jax.numpy as jnp
+    from yololite_tpu.deploy.predictor import Predictor
+    p0 = Predictor(trained_run["ckpt"], dtype=jnp.float32)
+    p1 = Predictor(trained_run["ckpt"], dtype=jnp.float32, s2d_stem=True)
+    assert p1.s2d
+    img_dir = os.path.join(trained_run["root"], "valid", "images")
+    import cv2
+    f = sorted(os.listdir(img_dir))[0]
+    img = cv2.imread(os.path.join(img_dir, f))
+    b0, s0, c0 = p0.infer_image(img, conf=0.05)
+    b1, s1, c1 = p1.infer_image(img, conf=0.05)
+    assert len(b0) == len(b1)
+    if len(b0):
+        np.testing.assert_allclose(b0, b1, atol=1e-2)
+        np.testing.assert_allclose(s0, s1, atol=1e-4)
+        np.testing.assert_array_equal(c0, c1)
