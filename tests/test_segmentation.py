@@ -218,3 +218,55 @@ def test_segm_eval_full_res_rle():
     s2 = ev.evaluate(images, anns, boxy)
     assert s2["AP50"] == 1.0
     assert s2["AP"] < s["AP"]
+
+
+def test_seg_mosaic_polygons(seg_data):
+    """mosaic_segment: polygon mass lands where the source tile landed, and
+    masks still fall inside their boxes after the 2S->S letterbox."""
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     mosaic_p=1.0, cutmix_p=0.0, max_boxes=16, task="segment")
+    canvas, polys, labels = ds.mosaic_segment(0, np.random.RandomState(0))
+    assert canvas.shape == (192, 192, 3)
+    assert len(polys) == len(labels) >= 4  # >=1 object per tile
+    for p in polys:
+        assert p.min() >= 0 and p.max() <= 192
+
+    # the full sample path (mosaic -> flips/affine -> letterbox -> raster)
+    s = ds.get(0, np.random.RandomState(1))
+    n = int(s["mask"].sum())
+    assert n >= 1
+    ps = s["masks"].shape[1]
+    for j in range(n):
+        ys, xs = np.nonzero(s["masks"][j])
+        if len(xs):
+            x1, y1, x2, y2 = s["boxes"][j] * (ps / 96.0)
+            assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
+            assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
+
+
+def test_seg_affine_polygon_mapping(seg_data):
+    """Affine on the seg path: mask pixels track the warped polygon (the box
+    is recomputed FROM the warped polygon, so mask-in-box must still hold)."""
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     mosaic_p=0.0, cutmix_p=0.0, max_boxes=8, task="segment")
+    hit = 0
+    for seed in range(20):  # affine fires with p=0.2 per sample
+        s = ds.get(seed % len(ds), np.random.RandomState(seed))
+        n = int(s["mask"].sum())
+        ps = s["masks"].shape[1]
+        for j in range(n):
+            ys, xs = np.nonzero(s["masks"][j])
+            if len(xs):
+                hit += 1
+                x1, y1, x2, y2 = s["boxes"][j] * (ps / 96.0)
+                assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
+                assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
+    assert hit > 5

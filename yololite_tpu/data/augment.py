@@ -91,10 +91,12 @@ def vflip(img, boxes):
     return img, boxes
 
 
-def random_affine(img, boxes, rng: np.random.RandomState,
+def affine_matrix(h, w, rng: np.random.RandomState,
                   rotate=(-20, 20), shear=(-10, 10), scale=(0.85, 1.15),
-                  translate=(0.05, 0.10)):
-    h, w = img.shape[:2]
+                  translate=(0.05, 0.10)) -> np.ndarray:
+    """Sample the train-time 2x3 affine (rot+scale about center, shear,
+    translate) — shared by the box path (random_affine) and the segmentation
+    path (which maps polygon points through it)."""
     ang = math.radians(rng.uniform(*rotate))
     shx = math.radians(rng.uniform(*shear))
     shy = math.radians(rng.uniform(*shear))
@@ -118,6 +120,14 @@ def random_affine(img, boxes, rng: np.random.RandomState,
 
     m = compose(rot, sh)
     m[:, 2] += (tx, ty)
+    return m
+
+
+def random_affine(img, boxes, rng: np.random.RandomState,
+                  rotate=(-20, 20), shear=(-10, 10), scale=(0.85, 1.15),
+                  translate=(0.05, 0.10)):
+    h, w = img.shape[:2]
+    m = affine_matrix(h, w, rng, rotate, shear, scale, translate)
     img = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR,
                          borderMode=cv2.BORDER_CONSTANT, borderValue=PAD)
     boxes = _transform_boxes_affine(boxes, m)

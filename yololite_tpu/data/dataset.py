@@ -278,24 +278,52 @@ class YoloDataset:
             out_m[:n] = True
         return out_b, out_l, out_m
 
-    def _get_segment(self, idx: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
-        """Segmentation sample: flips + letterbox applied to polygons, GT masks
-        rasterized at prototype resolution (stride `proto_down`).
+    def mosaic_segment(self, index: int, rng: np.random.RandomState):
+        """Polygon-aware Mosaic 2x2: same geometry as the box-path `mosaic`
+        (each tile resized to img_size, composed on a 2S canvas that the
+        caller letterboxes back down), with polygon points carried through
+        the per-tile scale + offset instead of boxes."""
+        indices = [index] + list(rng.randint(0, len(self), size=3))
+        s = self.img_size
+        canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        offsets = [(0, 0), (0, s), (s, 0), (s, s)]
+        polys, labels = [], []
+        for i, idx in enumerate(indices):
+            img = self.load_image(idx)
+            canvas_off = np.array(offsets[i][::-1], np.float32)  # (ox, oy)
+            oy, ox = offsets[i]
+            canvas[oy:oy + s, ox:ox + s] = cv2.resize(img, (s, s))
+            for c, p in self.poly_cache[idx]:
+                # poly_cache is normalized [0,1]; tile is exactly s x s
+                polys.append(p * np.float32(s) + canvas_off)
+                labels.append(c)
+        return canvas, polys, np.asarray(labels, np.int64)
 
-        Geometric augs beyond flips (affine/mosaic/cutmix) are box-task only in
-        this release; photometric augs apply normally.
+    def _get_segment(self, idx: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        """Segmentation sample: the full geometric pipeline (mosaic, flips,
+        affine, letterbox) applied to polygon points, GT masks rasterized at
+        prototype resolution (stride `proto_down`) + full-res RLE for eval.
+
+        CutMix stays box-task-only (the pasted patch has no donor polygon);
+        photometric augs apply normally.
         """
-        from yololite_tpu.data.augment import (channel_shuffle, color_jitter,
-                                               gauss_noise, hsv_shift, motion_blur,
-                                               random_brightness_contrast, rgb_shift)
+        from yololite_tpu.data.augment import (affine_matrix, channel_shuffle,
+                                               color_jitter, gauss_noise,
+                                               hsv_shift, motion_blur,
+                                               random_brightness_contrast,
+                                               rgb_shift)
         from yololite_tpu.ops.letterbox import letterbox_image
         s = self.img_size
         ps = self.proto_size
-        img = self.load_image(idx)
-        h, w = img.shape[:2]
-        items = self.poly_cache[idx]
-        polys = [p * np.array([w, h], np.float32) for _, p in items]
-        labels = np.array([c for c, _ in items], np.int64)
+        if self.augment_enabled and rng.rand() < self.mosaic_p:
+            img, polys, labels = self.mosaic_segment(idx, rng)
+            h, w = img.shape[:2]
+        else:
+            img = self.load_image(idx)
+            h, w = img.shape[:2]
+            items = self.poly_cache[idx]
+            polys = [p * np.array([w, h], np.float32) for _, p in items]
+            labels = np.array([c for c, _ in items], np.int64)
 
         if self.augment_enabled:
             if rng.rand() < 0.3:
@@ -304,6 +332,13 @@ class YoloDataset:
             if rng.rand() < 0.3:
                 img = img[::-1].copy()
                 polys = [np.stack([p[:, 0], h - p[:, 1]], 1) for p in polys]
+            if rng.rand() < 0.2:
+                m_aff = affine_matrix(h, w, rng)
+                img = cv2.warpAffine(img, m_aff, (w, h),
+                                     flags=cv2.INTER_LINEAR,
+                                     borderMode=cv2.BORDER_CONSTANT,
+                                     borderValue=(114, 114, 114))
+                polys = [p @ m_aff[:, :2].T + m_aff[:, 2] for p in polys]
             if rng.rand() < 0.4:
                 op = rng.randint(5)
                 img = [random_brightness_contrast, color_jitter, hsv_shift,
