@@ -224,3 +224,46 @@ def test_exact_resume_matches_uninterrupted_trajectory(toy_data, tmp_path):
                                      tr_c.lr_vector(3e-3))
         assert np.isclose(float(m["total"]), losses_a[i], rtol=1e-5), (
             f"step {i}: resumed {float(m['total'])} != straight {losses_a[i]}")
+
+
+def test_start_epoch_continues_schedule(toy_data, tmp_path):
+    """Chunked long runs: --resume + --start_epoch continues the cosine LR
+    and CSV numbering instead of replaying warmup from zero."""
+    import csv
+    from yololite_tpu.train.loop import train_from_config
+
+    def read_rows(run_dir):
+        with open(os.path.join(run_dir, "metrics.csv")) as f:
+            return list(csv.DictReader(f))
+
+    # straight 4-epoch run
+    run_a = str(tmp_path / "straight")
+    cfg = _toy_config(toy_data, run_a, epochs=4)
+    cfg["training"]["save_optimizer"] = True
+    train_from_config(cfg)
+    rows_a = read_rows(run_a)
+    assert [r["epoch"] for r in rows_a] == ["1", "2", "3", "4"]
+
+    # chunked: epochs 0-2, then resume with start_epoch=2 to 4
+    run_b = str(tmp_path / "chunk1")
+    cfg1 = _toy_config(toy_data, run_b, epochs=4)
+    cfg1["training"]["save_optimizer"] = True
+    # real chunked usage keeps --epochs <total> and the process is killed
+    # mid-run; here chunk 1 simply runs 2 of the 4 epochs
+    cfg1["training"]["epochs"] = 2
+    train_from_config(cfg1)
+
+    run_c = str(tmp_path / "chunk2")
+    cfg2 = _toy_config(toy_data, run_c, epochs=4)
+    cfg2["training"]["save_optimizer"] = True
+    cfg2["training"]["resume"] = os.path.join(run_b, "weights",
+                                              "last_model_state.ckpt")
+    cfg2["training"]["start_epoch"] = 2
+    train_from_config(cfg2)
+    rows_c = read_rows(run_c)
+    # continuation numbering: only epochs 3,4 appear
+    assert [r["epoch"] for r in rows_c] == ["3", "4"]
+    # the continued run's LR matches the straight run's schedule tail
+    for ra, rc in zip(rows_a[2:], rows_c):
+        np.testing.assert_allclose(float(ra["lr_g0"]), float(rc["lr_g0"]),
+                                   rtol=1e-6)

@@ -267,6 +267,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--use_resize", default=None, action=argparse.BooleanOptionalAction,
                     help="Use plain resize instead of letterbox")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--start_epoch", type=int, default=None,
+                    help="With --resume on a save_optimizer checkpoint: "
+                         "continue the LR schedule / aug taper / CSV from "
+                         "this epoch instead of replaying from zero "
+                         "(chunked long runs)")
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--save_every", type=int, default=None)
     ap.add_argument("--save_by", type=str, default=None,
@@ -307,6 +312,8 @@ def apply_overrides(config: Dict[str, Any], args: argparse.Namespace) -> Dict[st
         tr["augment"] = bool(args.augment)
     if getattr(args, "resume", None) is not None:
         tr["resume"] = str(args.resume)
+    if getattr(args, "start_epoch", None) is not None:
+        tr["start_epoch"] = int(args.start_epoch)
     if getattr(args, "pretrained_backbone", None) is not None:
         tr["pretrained_backbone"] = str(args.pretrained_backbone)
     if getattr(args, "spatial_parallel", None) is not None:

@@ -227,7 +227,6 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
 
     best_metric, best_metric_no_aug = -1.0, -1.0
     train_losses, val_losses = [], []
-    global_step = 0
     print(f"Training on {jax.devices()} | {len(train_ds)} train / {len(val_ds)} val "
           f"images | img={img_size} batch={batch_size} dp={mesh is not None}")
 
@@ -237,10 +236,20 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     multi_scale = tr.get("multi_scale_sizes") or []
     ms_rng = np.random.RandomState(int(tr.get("seed", 1337)) + 99)
 
-    for epoch in range(epochs):
+    # chunked exact resume: `start_epoch` (with `resume` + save_optimizer)
+    # continues the LR schedule, aug taper and CSV numbering mid-run instead
+    # of replaying warmup/cosine from zero — for environments where long runs
+    # must be split across processes (see ARCHITECTURE.md tunnel notes).
+    start_epoch = int(tr.get("start_epoch", 0) or 0)
+    global_step = start_epoch * steps_per_epoch
+    scheduler.fast_forward(start_epoch)
+    mosaic_tapered = False
+
+    for epoch in range(start_epoch, epochs):
         # ---- augmentation taper (train.py:326-331) ----
-        if epoch == int(epochs * 0.7) and use_augment:
+        if epoch >= int(epochs * 0.7) and use_augment and not mosaic_tapered:
             train_ds.set_mosaic_cutmix(0.0, 0.0)
+            mosaic_tapered = True
         if epoch > int(epochs * 0.9) and use_augment:
             train_ds.set_augment(False)
             use_augment = False

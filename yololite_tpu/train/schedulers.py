@@ -105,6 +105,14 @@ class Scheduler:
                 self._plateau_factor = max(self._plateau_factor * factor, min_lr)
                 self._bad = 0
 
+    def fast_forward(self, start_epoch: int):
+        """Chunked resume (`training.start_epoch`): replay the epoch stepping
+        for the epochs a previous process already ran, so cosine/step/
+        multistep continue mid-schedule instead of restarting. Plateau state
+        is metric-history-dependent and starts fresh (documented)."""
+        for e in range(max(0, int(start_epoch))):
+            self.end_epoch(e)
+
     def end_epoch(self, epoch: int):
         """Advance epoch-stepped schedulers (mirrors train.py:381-388 ordering)."""
         if self.type == "onecycle":
