@@ -42,13 +42,18 @@ def model_cfg(name, **kw):
 
 def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
              with_masks=False, iters=15):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from yololite_tpu.models.detector import build_model_from_config, init_model
     from yololite_tpu.models import count_params
     from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
                                                raw_cast)
+    from yololite_tpu.deploy.fuse_head import fuse_head_params
     from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
+    from yololite_tpu.deploy.s2d import (pack_s2d, rewrite_stem_to_s2d,
+                                         s2d_stem)
     from yololite_tpu.ops.decode import decode_anchorfree
     from yololite_tpu.ops.masks import assemble_masks_batch
     from yololite_tpu.ops.nms import batched_nms, yolo_scores
@@ -57,12 +62,18 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
            "training": {"img_size": img, "use_p2": use_p2, "use_p6": use_p6}}
     model = build_model_from_config(cfg, dtype=jnp.bfloat16)
     params, bstats = init_model(model, img, 0, 1)
-    params, bstats, _ = fold_normalization(params, bstats)
-    variables = {"params": params, "batch_stats": bstats}
     nparams = count_params(params)
+    # the full r2 deploy stack (same as bench.py / Predictor): normalize fold,
+    # head fusion, s2d stem over host-packed input, approx pre-NMS top-k
+    params, bstats, _ = fold_normalization(params, bstats)
+    params, fused = fuse_head_params(params)
+    if fused:
+        model = dataclasses.replace(model, fused_head=True)
+    params, s2d = rewrite_stem_to_s2d(params)
+    variables = {"params": params, "batch_stats": bstats}
 
     def infer(v, x):
-        with folded_stem():
+        with (s2d_stem() if s2d else folded_stem()):
             out = model.apply(v, raw_cast(x, jnp.bfloat16), train=False)
         outs, protos = out if model.with_masks else (out, None)
         d = decode_anchorfree(outs, img, num_classes=model.num_classes
@@ -71,7 +82,7 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
                            d["cls"].astype(jnp.float32))
         b, sc, cl, v_, idx = batched_nms(d["box"].astype(jnp.float32), s, c,
                                          iou_th=0.65, conf_th=0.25, max_det=100,
-                                         pre_nms_topk=256)
+                                         pre_nms_topk=256, approx_topk=True)
         if protos is not None:
             coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
                                        idx[..., None], axis=1)
@@ -82,6 +93,8 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
 
     rng = np.random.RandomState(0)
     x_np = (rng.rand(batch, img, img, 3) * 255).astype(np.uint8)
+    if s2d:
+        x_np = pack_s2d(x_np)
     # deploy path = AOT with XLA-preferred input layouts (deploy/layout.py)
     comp, fmts = compile_with_preferred_layouts(
         infer, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
