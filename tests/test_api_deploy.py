@@ -184,3 +184,27 @@ def test_predictor_s2d_matches_plain(trained_run):
         np.testing.assert_allclose(b0, b1, atol=1e-2)
         np.testing.assert_allclose(s0, s1, atol=1e-4)
         np.testing.assert_array_equal(c0, c1)
+
+
+def test_eval_variables_match_deploy_path(trained_run):
+    """Regression (r2): Predictor.variables are normalize-folded (raw-uint8
+    consumers); Trainer-based eval paths (api.val / tools/evaluate.py) must
+    use Predictor.eval_variables with normalized input. Feeding the folded
+    variables to a normalizing graph double-normalizes and AP collapses to 0."""
+    import jax.numpy as jnp
+    from yololite_tpu.deploy.fold_norm import folded_stem, raw_cast
+    from yololite_tpu.deploy.predictor import Predictor
+    from yololite_tpu.train.steps import normalize_images
+
+    pred = Predictor(trained_run["ckpt"], dtype=jnp.float32)
+    img = (np.random.RandomState(0).rand(1, 96, 96, 3) * 255).astype(np.uint8)
+    with folded_stem():
+        out_deploy = pred.model.apply(pred.variables,
+                                      raw_cast(jnp.asarray(img), jnp.float32),
+                                      train=False)
+    out_eval = pred.model.apply(pred.eval_variables,
+                                normalize_images(jnp.asarray(img), jnp.float32),
+                                train=False)
+    for a, b in zip(out_deploy, out_eval):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -94,11 +94,13 @@ def main():
                                        iou_th=0.65, conf_th=0.25, max_det=100,
                                        pre_nms_topk=256)
                 x = jnp.zeros((B, args.img_size, args.img_size, 3), jnp.uint8)
+                # eval_variables: this graph normalizes internally — the
+                # deploy variables are normalize-folded and expect raw uint8
                 for _ in range(3):
-                    jax.block_until_ready(infer(pred.variables, x))
+                    jax.block_until_ready(infer(pred.eval_variables, x))
                 t0 = time.perf_counter()
                 for _ in range(10):
-                    out = infer(pred.variables, x)
+                    out = infer(pred.eval_variables, x)
                 jax.block_until_ready(out)
                 thr = B / ((time.perf_counter() - t0) / 10)
 

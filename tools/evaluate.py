@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--img_size", type=int, default=None)
     ap.add_argument("--conf", type=float, default=0.001)
     ap.add_argument("--iou", type=float, default=0.65)
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="evaluate the dynamic-int8 inference path "
+                         "(ops/quant.py) instead of bf16 — for the "
+                         "accuracy-vs-speed curve")
     args = ap.parse_args()
 
     from yololite_tpu.config.config import next_run_dir
@@ -34,7 +38,7 @@ def main():
     from yololite_tpu.eval.evaluate import evaluate_model
     from yololite_tpu.train.steps import Trainer
 
-    pred = Predictor(args.weights)
+    pred = Predictor(args.weights, quantize=args.quantize)
     meta = pred.meta
     img_size = int(args.img_size or meta.get("img_size", 640))
     num_classes = int(meta.get("num_classes", 1))
@@ -62,9 +66,20 @@ def main():
     cfg_for_loss.setdefault("model", {})["num_classes"] = num_classes
     cfg_for_loss.setdefault("training", {})["img_size"] = img_size
     trainer = Trainer(pred.model, cfg_for_loss)
-    results = evaluate_model(trainer, pred.variables, loader, out_dir,
-                             num_classes, img_size, meta.get("names"),
-                             conf_th=args.conf, iou_th=args.iou)
+    from contextlib import nullcontext
+    if args.quantize == "int8":
+        # the Trainer's eval/predict steps trace on first call; tracing them
+        # inside the interceptor bakes the s8xs8->s32 conv path into the graph
+        from yololite_tpu.ops.quant import int8_inference
+        ctx = int8_inference()
+    else:
+        ctx = nullcontext()
+    with ctx:
+        # eval_variables: head-fused but NOT normalize-folded — eval_step
+        # normalizes internally (pred.variables would double-normalize)
+        results = evaluate_model(trainer, pred.eval_variables, loader, out_dir,
+                                 num_classes, img_size, meta.get("names"),
+                                 conf_th=args.conf, iou_th=args.iou)
     print(f"Results -> {out_dir}")
     for k, v in results["coco"].items():
         print(f"  {k}: {v:.4f}")

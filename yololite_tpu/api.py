@@ -216,7 +216,7 @@ class YoloLite:
         trainer = Trainer(pred.model, t_cfg)
         out_dir = os.path.join("runs", "val")
         os.makedirs(out_dir, exist_ok=True)
-        results = evaluate_model(trainer, pred.variables, loader, out_dir,
+        results = evaluate_model(trainer, pred.eval_variables, loader, out_dir,
                                  num_classes, img_size, ds_cfg.get("names"),
                                  conf_th=conf, iou_th=iou)
         stats = results["coco"]

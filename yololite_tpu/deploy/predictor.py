@@ -70,6 +70,13 @@ class Predictor:
             self.variables = {"params": fp,
                               "batch_stats": self.variables["batch_stats"]}
             self.model = dataclasses.replace(self.model, fused_head=True)
+        # variables for NORMALIZED-input consumers (Trainer.eval_step in
+        # tools/evaluate.py / api.val): head-fused to match self.model, but
+        # WITHOUT the normalize fold — self.variables expect raw uint8 and
+        # feeding them a normalized image double-normalizes (AP collapses
+        # to zero; regression-tested in test_api_deploy.py).
+        ep, _ = fuse_head_params(sd["params"])
+        self.eval_variables = {"params": ep, "batch_stats": sd["batch_stats"]}
         self.img_size = int(meta.get("img_size", 640))
         self.names = meta.get("names")
         self.use_letterbox = use_letterbox
