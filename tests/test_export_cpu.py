@@ -104,3 +104,75 @@ def test_tflite_dynamic_quant_smaller(tiny_ckpt, tmp_path):
     quant = export_tflite(ckpt, out_dir=str(tmp_path / "q"), fmt="decoded",
                           img_size=img_size, quantize="dynamic")
     assert os.path.getsize(quant) < os.path.getsize(full)
+
+
+@pytest.fixture(scope="module")
+def tiny_seg_ckpt(tmp_path_factory):
+    """An initialized segmentation checkpoint (with_masks=True)."""
+    import jax.numpy as jnp
+    from yololite_tpu.models.detector import build_model_from_config, init_model
+    from yololite_tpu.train.checkpoint import build_meta, save_checkpoint
+
+    img_size = 64
+    cfg = {
+        "model": {"arch": "YOLOLiteMS_CPU",
+                  "backbone": "mobilenetv4_conv_small_050",
+                  "fpn_channels": 32, "width_multiple": 1.0,
+                  "depth_multiple": 0.5, "head_depth": 1,
+                  "num_classes": 3, "num_anchors_per_level": 1,
+                  "with_masks": True},
+        "training": {"img_size": img_size},
+    }
+    model = build_model_from_config(cfg, dtype=jnp.float32)
+    params, batch_stats = init_model(model, img_size, seed=5, batch=1)
+    meta = build_meta(cfg, {"AP": 0.0}, "AP", ["a", "b", "c"],
+                      model.get_num_anchors_per_level())
+    path = str(tmp_path_factory.mktemp("ckpt_seg") / "tiny_seg.ckpt")
+    save_checkpoint(path, params, batch_stats, meta)
+    return path, cfg, img_size
+
+
+@pytest.mark.slow
+def test_stablehlo_seg_decoded_and_nms(tiny_seg_ckpt, tmp_path):
+    """Seg export: decoded carries mask_coef+protos (host YOLACT assembly);
+    nms carries in-graph-assembled masks. Host assembly parity checked
+    against the in-graph path."""
+    from yololite_tpu.deploy.export import export_model, load_exported
+    from yololite_tpu.ops.masks import assemble_masks_np
+
+    ckpt, cfg, img_size = tiny_seg_ckpt
+    x = (np.random.RandomState(0).rand(1, img_size, img_size, 3) * 255
+         ).astype(np.uint8)
+
+    import jax.numpy as jnp
+    dec_path = export_model(ckpt, out_dir=str(tmp_path), fmt="decoded",
+                            img_size=img_size, dtype=jnp.float32)
+    call, meta = load_exported(dec_path)
+    out = {k: np.asarray(v) for k, v in call(x).items()}
+    n = out["boxes_xyxy"].shape[1]
+    k = out["mask_coef"].shape[-1]
+    assert out["mask_coef"].shape == (1, n, k)
+    assert out["protos"].shape[0] == 1 and out["protos"].shape[-1] == k
+
+    nms_path = export_model(ckpt, out_dir=str(tmp_path), fmt="nms",
+                            img_size=img_size, conf=0.0, iou=0.65,
+                            max_det=10, dtype=jnp.float32)
+    call2, meta2 = load_exported(nms_path)
+    out2 = [np.asarray(v) for v in call2(x)]
+    assert len(out2) == 5
+    b, s, c, v, masks = out2
+    assert masks.shape[:2] == (1, 10)
+
+    # host-side assembly from the decoded artifact matches the in-graph masks
+    # for the kept detections (match by box)
+    kept = v[0].astype(bool)
+    if kept.any():
+        bx = b[0][kept]
+        # find the matching pre-NMS indices by exact box equality
+        all_boxes = out["boxes_xyxy"][0]
+        idx = [int(np.argmin(np.abs(all_boxes - bb).sum(1))) for bb in bx]
+        pm_host = assemble_masks_np(out["protos"][0],
+                                    out["mask_coef"][0][idx], bx,
+                                    float(img_size))
+        pm_graph = masks[0][kept]
+        np.testing.assert_allclose(pm_host, pm_graph, atol=2e-3)

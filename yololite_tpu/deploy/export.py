@@ -31,27 +31,51 @@ from yololite_tpu.train.steps import normalize_images
 
 def _build_fn(model, img_size: int, fmt: str, conf: float, iou: float,
               max_det: int):
-    def raw_fn(variables, images_u8):
+    with_masks = bool(getattr(model, "with_masks", False))
+
+    def _forward(variables, images_u8):
         x = normalize_images(images_u8, model.dtype)
-        return tuple(model.apply(variables, x, train=False))
+        out = model.apply(variables, x, train=False)
+        return out if with_masks else (out, None)
+
+    def raw_fn(variables, images_u8):
+        outs, protos = _forward(variables, images_u8)
+        return tuple(outs) + ((protos,) if with_masks else ())
 
     def decoded_fn(variables, images_u8):
-        x = normalize_images(images_u8, model.dtype)
-        outs = model.apply(variables, x, train=False)
-        d = decode_anchorfree(outs, img_size)
-        return {"boxes_xyxy": d["box"].astype(jnp.float32),
-                "obj_logits": d["obj"].astype(jnp.float32),
-                "cls_logits": d["cls"].astype(jnp.float32)}
+        """Reference `decoded` format (export_onnx.py:283-309); segmentation
+        models additionally emit the YOLACT pieces (per-anchor mask
+        coefficients + prototypes) so the host assembles masks as
+        sigmoid(protos @ coef) cropped to the box — see infer_exported.py."""
+        outs, protos = _forward(variables, images_u8)
+        d = decode_anchorfree(outs, img_size,
+                              num_classes=model.num_classes
+                              if with_masks else None)
+        out = {"boxes_xyxy": d["box"].astype(jnp.float32),
+               "obj_logits": d["obj"].astype(jnp.float32),
+               "cls_logits": d["cls"].astype(jnp.float32)}
+        if with_masks:
+            out["mask_coef"] = d["coef"].astype(jnp.float32)
+            out["protos"] = protos.astype(jnp.float32)
+        return out
 
     def nms_fn(variables, images_u8):
-        x = normalize_images(images_u8, model.dtype)
-        outs = model.apply(variables, x, train=False)
-        d = decode_anchorfree(outs, img_size)
+        outs, protos = _forward(variables, images_u8)
+        d = decode_anchorfree(outs, img_size,
+                              num_classes=model.num_classes
+                              if with_masks else None)
         scores, classes = yolo_scores(d["obj"][..., 0].astype(jnp.float32),
                                       d["cls"].astype(jnp.float32))
-        b, s_, c_, v_, _ = batched_nms(d["box"].astype(jnp.float32), scores,
-                                       classes, iou_th=iou, conf_th=conf,
-                                       max_det=max_det, pre_nms_topk=512)
+        b, s_, c_, v_, idx = batched_nms(d["box"].astype(jnp.float32), scores,
+                                         classes, iou_th=iou, conf_th=conf,
+                                         max_det=max_det, pre_nms_topk=512)
+        if with_masks:
+            from yololite_tpu.ops.masks import assemble_masks_batch
+            coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
+                                       idx[..., None], axis=1)
+            masks = assemble_masks_batch(protos.astype(jnp.float32), coef, b,
+                                         float(img_size))
+            return b, s_, c_, v_, masks
         return b, s_, c_, v_
 
     return {"raw": raw_fn, "decoded": decoded_fn, "nms": nms_fn}[fmt]
@@ -178,13 +202,19 @@ def export_tflite(weights: str, out_dir: Optional[str] = None,
                  "batch_stats": jax.tree.map(jnp.asarray, sd["batch_stats"])}
 
     fn = _build_fn(model, img_size, fmt, conf, iou, max_det)
+    with_masks = bool(getattr(model, "with_masks", False))
     if fmt == "raw":
-        n_levels = len(jax.eval_shape(
+        n_outs = len(jax.eval_shape(
             lambda v, im: fn(v, im), variables,
             jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.uint8)))
+        n_levels = n_outs - (1 if with_masks else 0)
         out_names = [f"level_{i}" for i in range(n_levels)]
+        if with_masks:
+            out_names.append("protos")
     else:
         out_names = list(_OUT_NAMES[fmt])
+        if with_masks and fmt == "nms":
+            out_names.append("masks")
 
     module = _tf_module_for(fn, variables, batch, img_size, out_names)
 
@@ -284,12 +314,19 @@ def export_onnx(weights: str, out_dir: Optional[str] = None,
     fn = _build_fn(model, img_size, fmt, conf, iou, max_det)
     images_spec = jax.ShapeDtypeStruct((batch, img_size, img_size, 3),
                                        jnp.uint8)
+    with_masks = bool(getattr(model, "with_masks", False))
     if fmt == "raw":
-        n_levels = len(jax.eval_shape(lambda im: fn(variables, im),
-                                      images_spec))
+        n_outs = len(jax.eval_shape(lambda im: fn(variables, im),
+                                    images_spec))
+        n_levels = n_outs - (1 if with_masks else 0)
         out_names = [f"level_{i}" for i in range(n_levels)]
+        if with_masks:
+            out_names.append("protos")
     else:  # decoded: dict outputs flatten in sorted-key order (jax pytree)
-        out_names = sorted(_OUT_NAMES["decoded"])
+        keys = list(_OUT_NAMES["decoded"])
+        if with_masks:
+            keys += ["mask_coef", "protos"]
+        out_names = sorted(keys)
 
     out_dir = out_dir or os.path.dirname(os.path.abspath(weights))
     os.makedirs(out_dir, exist_ok=True)

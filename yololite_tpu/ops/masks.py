@@ -126,3 +126,25 @@ def rasterize_box_masks_np(boxes, img_size: int, proto_size: int):
         xb, yb = int(round(x2 * scale)), int(round(y2 * scale))
         out[i, max(0, ya):max(0, yb), max(0, xa):max(0, xb)] = 1.0
     return out
+
+def assemble_masks_np(protos, coeffs, boxes, img_size: float,
+                      crop: bool = True):
+    """Pure-numpy twin of assemble_masks for host-only deploy runners
+    (tools/infer_exported.py consuming `decoded` seg artifacts):
+    protos [Hp,Wp,K] x coeffs [D,K] -> [D,Hp,Wp] probabilities, cropped to
+    boxes (letterbox pixels)."""
+    import numpy as _np
+    protos = _np.asarray(protos, _np.float32)
+    coeffs = _np.asarray(coeffs, _np.float32)
+    hp, wp, _ = protos.shape
+    m = 1.0 / (1.0 + _np.exp(-_np.einsum("hwk,dk->dhw", protos, coeffs)))
+    if crop and len(boxes):
+        ys = (_np.arange(hp, dtype=_np.float32) + 0.5) * (img_size / hp)
+        xs = (_np.arange(wp, dtype=_np.float32) + 0.5) * (img_size / wp)
+        b = _np.asarray(boxes, _np.float32)
+        in_x = (xs[None, None, :] >= b[:, 0, None, None]) & \
+               (xs[None, None, :] <= b[:, 2, None, None])
+        in_y = (ys[None, :, None] >= b[:, 1, None, None]) & \
+               (ys[None, :, None] <= b[:, 3, None, None])
+        m = m * (in_x & in_y)
+    return m
