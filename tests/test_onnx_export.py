@@ -293,3 +293,46 @@ def test_emit_diverse_backbones(tmp_path):
         for o, r in zip(outs, ref):
             np.testing.assert_allclose(o, r, rtol=1e-3, atol=1e-3,
                                        err_msg=name)
+
+
+@pytest.mark.slow
+def test_onnx_seg_decoded_parity(tmp_path):
+    """Segmentation decoded graph (protonet + coef head) through the ONNX
+    emitter matches the JAX graph (mask_coef / protos / boxes)."""
+    import jax.numpy as jnp
+    from yololite_tpu.deploy.export import export_onnx, load_exported
+    from yololite_tpu.models.detector import build_model_from_config, init_model
+    from yololite_tpu.ops.decode import decode_anchorfree
+    from yololite_tpu.train.checkpoint import build_meta, save_checkpoint
+    from yololite_tpu.train.checkpoint import load_checkpoint, model_from_meta
+    from yololite_tpu.train.steps import normalize_images
+
+    img = 64
+    cfg = {"model": {"arch": "YOLOLiteMS_CPU",
+                     "backbone": "mobilenetv4_conv_small_050",
+                     "fpn_channels": 32, "width_multiple": 1.0,
+                     "depth_multiple": 0.5, "head_depth": 1,
+                     "num_classes": 3, "num_anchors_per_level": 1,
+                     "with_masks": True},
+           "training": {"img_size": img}}
+    model = build_model_from_config(cfg, dtype=jnp.float32)
+    params, bstats = init_model(model, img, seed=5, batch=1)
+    meta = build_meta(cfg, {"AP": 0.0}, "AP", ["a", "b", "c"],
+                     model.get_num_anchors_per_level())
+    ck = str(tmp_path / "seg.ckpt")
+    save_checkpoint(ck, params, bstats, meta)
+
+    path = export_onnx(ck, out_dir=str(tmp_path), fmt="decoded", img_size=img)
+    call, _ = load_exported(path)
+    x = (np.random.RandomState(1).rand(1, img, img, 3) * 255).astype(np.uint8)
+    out = {k: np.asarray(v) for k, v in call(x).items()}
+
+    outs, protos = model.apply({"params": params, "batch_stats": bstats},
+                               normalize_images(jnp.asarray(x), jnp.float32),
+                               train=False)
+    d = decode_anchorfree(outs, img, num_classes=model.num_classes)
+    np.testing.assert_allclose(out["boxes_xyxy"], np.asarray(d["box"]),
+                               atol=0.05)
+    np.testing.assert_allclose(out["mask_coef"], np.asarray(d["coef"]),
+                               atol=0.01)
+    np.testing.assert_allclose(out["protos"], np.asarray(protos), atol=0.01)
