@@ -106,6 +106,16 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     import jax.numpy as jnp
 
     tr = config["training"]
+    # persistent XLA compile cache: chunked/resumed runs (and any re-run at
+    # the same shapes) skip the multi-minute train-step compile entirely
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # non-fatal (e.g. cache already configured differently)
     set_seed(int(tr.get("seed", 1337)))
     log_dir = config.get("logging", {}).get("log_dir", "runs/default")
     os.makedirs(log_dir, exist_ok=True)
