@@ -17,14 +17,21 @@ from yololite_tpu.eval.plots import read_metrics_csv  # noqa: E402
 
 
 def summarize(name, run_dir):
-    csv_path = os.path.join(run_dir, "metrics.csv")
-    if not os.path.exists(csv_path):
-        return None
-    d = read_metrics_csv(csv_path)
-    rows = [(int(e), ap, ap50, ap75, aps)
-            for e, ap, ap50, ap75, aps in zip(
-                d["epoch"], d["AP"], d["AP50"], d["AP75"], d["APS"])
-            if ap == ap and ap >= 0]  # drop non-eval epochs (NaN)
+    """run_dir may be a single dir or 'dir1+dir2+...' for chunked runs
+    (tools/run_chunked_train.sh allocates one run dir per chunk); the
+    per-epoch rows are concatenated, later chunks winning duplicate epochs."""
+    rows_by_epoch = {}
+    for part in run_dir.split("+"):
+        csv_path = os.path.join(part, "metrics.csv")
+        if not os.path.exists(csv_path):
+            continue
+        d = read_metrics_csv(csv_path)
+        for e, ap, ap50, ap75, aps in zip(
+                d["epoch"], d["AP"], d["AP50"], d["AP75"], d["APS"]):
+            if ap == ap and ap >= 0:  # drop non-eval epochs (NaN)
+                rows_by_epoch[int(e)] = (int(e), ap, ap50, ap75, aps)
+    rows = [rows_by_epoch[e] for e in sorted(rows_by_epoch)]
+    d = {"epoch": [r[0] for r in rows] or [0]}
     if not rows:
         return None
     best = max(rows, key=lambda r: r[2])
