@@ -89,3 +89,19 @@ def test_nms_numpy_entry_uses_native():
     scores = np.array([0.9, 0.8, 0.7], np.float32)
     keep = nms_numpy(boxes, scores, 0.5)
     np.testing.assert_array_equal(sorted(keep), [0, 2])
+
+
+def test_pack_s2d_native_matches_numpy():
+    from yololite_tpu.native import available, pack_s2d_native
+    if not available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    out = pack_s2d_native(x)
+    assert out.shape == (2, 16, 24, 12)
+    for di in range(2):
+        for dj in range(2):
+            ph = di * 2 + dj
+            np.testing.assert_array_equal(out[..., ph * 3:(ph + 1) * 3],
+                                          x[:, di::2, dj::2, :])

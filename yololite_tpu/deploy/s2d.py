@@ -98,8 +98,9 @@ def rewrite_stem_to_s2d(params) -> Tuple[Dict, bool]:
 def pack_s2d(images: np.ndarray) -> np.ndarray:
     """Host-side pack [B,H,W,C] (or [H,W,C]) uint8 -> [...,H/2,W/2,4C].
 
-    Phase order (di,dj)-major matches rewrite_stem_kernel. A strided memcpy:
-    ~2 ms/img on one core — run it where letterbox already touches the image.
+    Phase order (di,dj)-major matches rewrite_stem_kernel. Uses the native
+    C++ kernel (yl_pack_s2d, ~8x the numpy strided assignment) when the
+    toolchain is available; numpy fallback otherwise.
     """
     squeeze = images.ndim == 3
     if squeeze:
@@ -107,6 +108,11 @@ def pack_s2d(images: np.ndarray) -> np.ndarray:
     b, h, w, c = images.shape
     if h % 2 or w % 2:
         raise ValueError(f"s2d pack needs even H,W, got {(h, w)}")
+    if images.dtype == np.uint8:
+        from yololite_tpu.native import pack_s2d_native
+        out = pack_s2d_native(np.asarray(images))
+        if out is not None:
+            return out[0] if squeeze else out
     out = np.empty((b, h // 2, w // 2, 4 * c), images.dtype)
     for di in range(2):
         for dj in range(2):

@@ -64,6 +64,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8)]
+            lib.yl_pack_s2d.restype = None
+            lib.yl_pack_s2d.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
         except Exception:
             _lib = None
@@ -111,3 +115,18 @@ def coco_match_native(ious: np.ndarray, gt_ignore: np.ndarray,
                       D, G, _fptr(thrs, ctypes.c_double), T,
                       _fptr(dtm, ctypes.c_int32), _fptr(dt_ig, ctypes.c_uint8))
     return dtm, dt_ig.astype(bool)
+
+
+def pack_s2d_native(images: np.ndarray) -> Optional[np.ndarray]:
+    """Space-to-depth 2x2 uint8 pack [B,H,W,C] -> [B,H/2,W/2,4C]
+    ((di,dj)-major phases, matching deploy/s2d.pack_s2d) or None if the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or images.dtype != np.uint8:
+        return None
+    images = np.ascontiguousarray(images)
+    b, h, w, c = images.shape
+    out = np.empty((b, h // 2, w // 2, 4 * c), np.uint8)
+    lib.yl_pack_s2d(_fptr(images, ctypes.c_uint8), b, h, w, c,
+                    _fptr(out, ctypes.c_uint8))
+    return out

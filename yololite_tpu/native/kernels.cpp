@@ -10,10 +10,15 @@
 //   yl_coco_match  — COCOeval per-(image,category) greedy matching over all
 //                    IoU thresholds (the inner hot loop of eval/coco.py)
 //   yl_box_iou     — pairwise IoU matrix (xyxy)
+//   yl_pack_s2d    — space-to-depth 2x2 uint8 pack for the s2d deploy stem
+//                    (deploy/s2d.py; numpy strided assignment is ~2.6 ms/img
+//                    on one core, this is a cache-order two-memcpy-per-pixel
+//                    pass)
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <numeric>
 #include <vector>
 
@@ -106,6 +111,31 @@ void yl_coco_match(const double* ious, const uint8_t* gt_ignore, int D, int G,
         dtm[(size_t)t * D + d] = m + 1;
         dt_ig[(size_t)t * D + d] = gt_ignore[m];
         gtm[m] = 1;
+      }
+    }
+  }
+}
+
+// [B,H,W,C] u8 -> [B,H/2,W/2,4C] u8, phase (di,dj)-major / channel-minor:
+// out[b,oy,ox, (di*2+dj)*C + c] = in[b, 2oy+di, 2ox+dj, c].
+// For each output pixel, phases (di,0),(di,1) are 2C contiguous source bytes
+// (two adjacent input pixels of row 2oy+di) landing at 2C contiguous dest
+// bytes — two memcpys per output pixel, sequential in both streams.
+void yl_pack_s2d(const uint8_t* in, int B, int H, int W, int C, uint8_t* out) {
+  const int oh = H / 2, ow = W / 2;
+  const size_t in_row = (size_t)W * C;
+  const size_t out_px = (size_t)4 * C;
+  for (int b = 0; b < B; ++b) {
+    const uint8_t* ib = in + (size_t)b * H * in_row;
+    uint8_t* ob = out + (size_t)b * oh * ow * out_px;
+    for (int oy = 0; oy < oh; ++oy) {
+      const uint8_t* r0 = ib + (size_t)(2 * oy) * in_row;
+      const uint8_t* r1 = r0 + in_row;
+      uint8_t* o = ob + (size_t)oy * ow * out_px;
+      for (int ox = 0; ox < ow; ++ox) {
+        std::memcpy(o, r0 + (size_t)(2 * ox) * C, 2 * C);
+        std::memcpy(o + 2 * C, r1 + (size_t)(2 * ox) * C, 2 * C);
+        o += out_px;
       }
     }
   }
