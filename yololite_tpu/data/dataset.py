@@ -339,11 +339,13 @@ class YoloDataset:
                                      borderMode=cv2.BORDER_CONSTANT,
                                      borderValue=(114, 114, 114))
                 polys = [p @ m_aff[:, :2].T + m_aff[:, 2] for p in polys]
-            if rng.rand() < 0.4:
+            # photometric=False: color/noise run on-device instead
+            # (training.device_augment) — mirror the box path's gating
+            if self.photometric and rng.rand() < 0.4:
                 op = rng.randint(5)
                 img = [random_brightness_contrast, color_jitter, hsv_shift,
                        rgb_shift, channel_shuffle][op](img, rng)
-            if rng.rand() < 0.15:
+            if self.photometric and rng.rand() < 0.15:
                 img = gauss_noise(img, rng) if rng.rand() < 0.5 else motion_blur(img, rng)
 
         canvas, scale, px, py = letterbox_image(img, s)
