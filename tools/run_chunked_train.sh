@@ -8,13 +8,14 @@
 # Usage:
 #   tools/run_chunked_train.sh <model.yaml> <train.yaml> <data.yaml> \
 #       <total_epochs> <batch> <img> <log_file> [chunk_secs=2400]
+# Env: INIT_CKPT / INIT_EPOCH continue from an existing run's checkpoint.
 set -u
 cd "$(dirname "$0")/.."
 MODEL=$1; TRAIN=$2; DATA=$3; EPOCHS=$4; BATCH=$5; IMG=$6; LOG=$7
 CHUNK=${8:-2400}
 RUNS_PARENT=runs/train
 
-start=0; ckpt=""
+start=${INIT_EPOCH:-0}; ckpt=${INIT_CKPT:-}
 while [ "$start" -lt "$EPOCHS" ]; do
   args=(--model "$MODEL" --train "$TRAIN" --data "$DATA"
         --epochs "$EPOCHS" --batch_size "$BATCH" --img_size "$IMG")
@@ -33,7 +34,9 @@ while [ "$start" -lt "$EPOCHS" ]; do
     fi
     done_epoch=$start
   fi
-  ckpt="$rundir/weights/last_model_state.ckpt"
+  if [ -f "$rundir/weights/last_model_state.ckpt" ]; then
+    ckpt="$rundir/weights/last_model_state.ckpt"
+  fi   # else: keep resuming from the previous chunk's checkpoint
   if [ "$rc" -eq 0 ]; then
     echo "=== run complete at epoch $done_epoch (dir $rundir) ===" >> "$LOG"
     exit 0
