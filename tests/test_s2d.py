@@ -102,3 +102,38 @@ def test_rewrite_noop_without_3ch_stem():
     p = {"backbone": {"Whatever_0": {}}}
     p2, ok = rewrite_stem_to_s2d(p)
     assert not ok and p2 is p
+
+
+def test_predictor_s2d_segmentation(tmp_path):
+    """s2d stem + segmentation model through the Predictor: same detections
+    and masks as the plain path (f32)."""
+    import os
+
+    from yololite_tpu.deploy.predictor import Predictor
+    from yololite_tpu.train.checkpoint import build_meta, save_checkpoint
+
+    img = 64
+    cfg = {"model": {"arch": "YOLOLiteMS_CPU",
+                     "backbone": "mobilenetv4_conv_small_050",
+                     "fpn_channels": 32, "width_multiple": 1.0,
+                     "depth_multiple": 0.5, "head_depth": 1,
+                     "num_classes": 3, "num_anchors_per_level": 1,
+                     "with_masks": True},
+           "training": {"img_size": img}}
+    m = build_model_from_config(cfg, dtype=jnp.float32)
+    p, bs = init_model(m, img, seed=5, batch=1)
+    meta = build_meta(cfg, {"AP": 0.0}, "AP", ["a", "b", "c"],
+                     m.get_num_anchors_per_level())
+    ck = os.path.join(str(tmp_path), "seg.ckpt")
+    save_checkpoint(ck, p, bs, meta)
+
+    frame = (np.random.RandomState(0).rand(70, 90, 3) * 255).astype(np.uint8)
+    r0 = Predictor(ck, dtype=jnp.float32).infer_image_profiled(frame,
+                                                               conf=1e-4)
+    pred = Predictor(ck, dtype=jnp.float32, s2d_stem=True)
+    assert pred.s2d
+    r1 = pred.infer_image_profiled(frame, conf=1e-4)
+    assert len(r0["boxes"]) == len(r1["boxes"]) > 0
+    np.testing.assert_allclose(r0["boxes"], r1["boxes"], atol=1e-2)
+    assert r0["masks"].shape == r1["masks"].shape
+    assert (r0["masks"] == r1["masks"]).mean() > 0.999
