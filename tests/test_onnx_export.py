@@ -257,8 +257,9 @@ def test_infer_exported_host_postproc_on_onnx(tiny_ckpt, tmp_path):
     rng = np.random.RandomState(1)
     images = (rng.rand(1, img_size, img_size, 3) * 255).astype(np.uint8)
     out = call(images)
-    boxes, scores, classes = postprocess_decoded(out, conf=0.0, iou=0.5,
-                                                 max_det=50)
+    boxes, scores, classes, kept = postprocess_decoded(out, conf=0.0, iou=0.5,
+                                                       max_det=50)
+    assert len(kept) == len(boxes)
     assert len(boxes) > 0
     assert np.isfinite(boxes).all()
     assert (boxes[:, :2] <= boxes[:, 2:] + 1e-3).all()

@@ -223,12 +223,14 @@ def evaluate_model(trainer, variables, val_loader, log_dir: str, num_classes: in
     make_summary_image(stats, curves, ms_per_img,
                        os.path.join(log_dir, "summary.png"),
                        ms_per_img_cpu=ms_per_img_cpu)
+    # NaN is not valid JSON — emit null so strict parsers accept the file.
+    _jsonable = lambda v: float(v) if np.isfinite(v) else None
     results = {
         "coco": stats,
         "best_f1": float(curves.get("best_f1", 0.0)),
         "best_conf": float(curves.get("best_conf", 0.0)),
-        "ms_per_img": float(ms_per_img),
-        "ms_per_img_cpu": float(ms_per_img_cpu),
+        "ms_per_img": _jsonable(ms_per_img),
+        "ms_per_img_cpu": _jsonable(ms_per_img_cpu),
     }
     if segm_stats is not None:
         results["coco_segm"] = segm_stats
