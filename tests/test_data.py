@@ -169,3 +169,54 @@ def test_loader_num_workers_threads(ds_root):
     dl0 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
     b0 = next(iter(dl0))
     np.testing.assert_array_equal(batches[0]["image"], b0["image"])
+
+def test_strong_transform_output(ds_root):
+    """StrongTrainTransform (reference get_strong_transform parity,
+    augment.py:103-152): letterboxed canvas, boxes valid and clipped."""
+    from yololite_tpu.data.augment import StrongTrainTransform
+    rng = np.random.RandomState(0)
+    t = StrongTrainTransform(img_size=128)
+    hit = 0
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        img = (np.random.RandomState(1).rand(96, 80, 3) * 255).astype(np.uint8)
+        boxes = np.array([[10, 12, 60, 70], [30, 30, 72, 78]], np.float32)
+        labels = np.array([0, 1], np.int64)
+        canvas, b, l = t(img, boxes, labels, rng)
+        assert canvas.shape == (128, 128, 3) and canvas.dtype == np.uint8
+        assert len(b) == len(l)
+        if len(b):
+            assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+            assert b.min() >= 0 and b.max() <= 128
+            hit += 1
+    assert hit >= 6  # strong augs may drop boxes occasionally, not always
+
+
+def test_elastic_and_coarse_dropout_units():
+    from yololite_tpu.data.augment import coarse_dropout, elastic_transform
+    rng = np.random.RandomState(0)
+    img = np.full((64, 64, 3), 200, np.uint8)
+    out = coarse_dropout(img, rng)
+    assert (out == 0).any() and (img == 200).all()  # holes added, input untouched
+    rng = np.random.RandomState(1)
+    boxes = np.array([[8, 8, 40, 40]], np.float32)
+    img2, b2 = elastic_transform(img, boxes, rng, alpha=1.0, sigma=50.0)
+    assert img2.shape == img.shape
+    # alpha=1 displacement is sub-pixel scale: boxes barely move
+    assert np.abs(b2 - boxes).max() < 2.0
+
+
+def test_dataset_strong_preset(ds_root):
+    from yololite_tpu.data import YoloDataset
+    from yololite_tpu.data.augment import StrongTrainTransform
+    ds = YoloDataset(os.path.join(ds_root, "train", "images"),
+                     os.path.join(ds_root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     aug_preset="strong")
+    assert isinstance(ds.transform, StrongTrainTransform)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["image"].shape == (96, 96, 3)
+    # taper to no-aug flips back to ValTransform regardless of preset
+    ds.set_augment(False)
+    from yololite_tpu.data.augment import ValTransform
+    assert isinstance(ds.transform, ValTransform)

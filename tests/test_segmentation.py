@@ -270,3 +270,64 @@ def test_seg_affine_polygon_mapping(seg_data):
                 assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
                 assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
     assert hit > 5
+
+def test_seg_cutmix_mask_aware(seg_data):
+    """Mask-aware CutMix: the pasted donor instance arrives with a polygon
+    whose rasterized mask matches the donor pixels actually composited."""
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     max_boxes=8, task="segment")
+    rng = np.random.RandomState(3)
+    img = ds.load_image(0)
+    h, w = img.shape[:2]
+    items = ds.poly_cache[0]
+    polys = [p * np.array([w, h], np.float32) for _, p in items]
+    labels = np.array([c for c, _ in items], np.int64)
+    n_before = len(polys)
+    img2, polys2, labels2 = ds.cutmix_segment(img, polys, labels, 1, rng)
+    assert len(polys2) == n_before + 1
+    assert len(labels2) == n_before + 1
+    assert labels2[-1] == ds.poly_cache[1][
+        int(np.argmin([(p[:, 0].max() - p[:, 0].min()) *
+                       (p[:, 1].max() - p[:, 1].min())
+                       for _, p in ds.poly_cache[1]]))][0]
+    # pixels changed exactly inside the pasted polygon (allow raster boundary)
+    new_poly = polys2[-1]
+    changed = np.any(img2 != img, axis=-1)
+    pmask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(pmask, [np.round(new_poly).astype(np.int32)], 1)
+    assert changed[pmask > 0].mean() > 0.3          # donor visibly composited
+    dil = cv2.dilate(pmask, np.ones((3, 3), np.uint8))
+    assert not changed[dil == 0].any()               # nothing outside the polygon
+
+
+def test_seg_cutmix_through_pipeline(seg_data):
+    """cutmix-only seg pipeline (mosaic_p=0, cutmix_p=1): every sample gains
+    an instance whose proto-res mask lies inside its box."""
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    ds = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     mosaic_p=0.0, cutmix_p=1.0, max_boxes=8, task="segment")
+    base = YoloDataset(os.path.join(root, "train", "images"),
+                       os.path.join(root, "train", "labels"),
+                       img_size=96, is_train=False, augment=False,
+                       max_boxes=8, task="segment")
+    gained = 0
+    for i in range(6):
+        s = ds.get(i, np.random.RandomState(100 + i))
+        b = base.get(i, np.random.RandomState(100 + i))
+        assert s["masks"].shape == (8, 24, 24)
+        n = int(s["mask"].sum())
+        gained += int(n > int(b["mask"].sum()))
+        for j in range(n):
+            ys, xs = np.nonzero(s["masks"][j])
+            if len(xs):
+                x1, y1, x2, y2 = s["boxes"][j] * (24 / 96.0)
+                assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
+                assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
+    assert gained >= 3  # paste can legitimately fail (size guards), not always

@@ -20,166 +20,7 @@ import jax.numpy as jnp  # noqa: E402
 from yololite_tpu.models.backbones.zoo import _specs, build_backbone  # noqa: E402
 from yololite_tpu.models.backbones.torch_import import (  # noqa: E402
     convert_backbone, plan_flax_slots, group_torch_slots)
-from yololite_tpu.models.layers import make_divisible  # noqa: E402
-
-_T_ACT = {
-    "relu": F.relu,
-    "relu6": F.relu6,
-    "silu": F.silu,
-    "hardswish": F.hardswish,
-    "gelu": F.gelu,
-    None: lambda x: x,
-    "none": lambda x: x,
-}
-
-
-class TConvBNAct(tnn.Module):
-    def __init__(self, c_in, features, kernel=3, stride=1, groups=1, act="silu"):
-        super().__init__()
-        self.conv = tnn.Conv2d(c_in, features, kernel, stride, kernel // 2,
-                               groups=groups, bias=False)
-        self.bn = tnn.BatchNorm2d(features, eps=1e-5)
-        self.act = _T_ACT[act]
-        self.c_out = features
-
-    def forward(self, x):
-        return self.act(self.bn(self.conv(x)))
-
-
-class TSE(tnn.Module):
-    def __init__(self, chs, se_features, act):
-        super().__init__()
-        self.conv_reduce = tnn.Conv2d(chs, se_features, 1, bias=True)
-        self.conv_expand = tnn.Conv2d(se_features, chs, 1, bias=True)
-        self.act = _T_ACT[act]
-
-    def forward(self, x):
-        s = x.mean((2, 3), keepdim=True)
-        s = self.conv_expand(self.act(self.conv_reduce(s)))
-        return x * torch.sigmoid(s)
-
-
-class TMBConv(tnn.Module):
-    def __init__(self, c_in, features, expand=6.0, kernel=3, stride=1,
-                 se_ratio=0.0, act="relu6"):
-        super().__init__()
-        mid = make_divisible(c_in * expand)
-        self.pw = TConvBNAct(c_in, mid, 1, 1, act=act) if expand != 1.0 else None
-        self.dw = TConvBNAct(mid if self.pw else c_in,
-                             mid if self.pw else make_divisible(c_in * expand),
-                             kernel, stride, groups=mid, act=act)
-        self.se = TSE(mid, max(1, int(c_in * se_ratio)), act) if se_ratio > 0 else None
-        self.proj = TConvBNAct(mid, features, 1, 1, act=None)
-        self.res = stride == 1 and c_in == features
-        self.c_out = features
-
-    def forward(self, x):
-        h = self.pw(x) if self.pw else x
-        h = self.dw(h)
-        if self.se:
-            h = self.se(h)
-        h = self.proj(h)
-        return h + x if self.res else h
-
-
-class TFusedMBConv(tnn.Module):
-    def __init__(self, c_in, features, expand=4.0, kernel=3, stride=1, act="silu"):
-        super().__init__()
-        mid = make_divisible(c_in * expand)
-        if expand != 1.0:
-            self.exp = TConvBNAct(c_in, mid, kernel, stride, act=act)
-            self.proj = TConvBNAct(mid, features, 1, 1, act=None)
-        else:
-            self.exp = TConvBNAct(c_in, features, kernel, stride, act=act)
-            self.proj = None
-        self.res = stride == 1 and c_in == features
-        self.c_out = features
-
-    def forward(self, x):
-        h = self.exp(x)
-        if self.proj:
-            h = self.proj(h)
-        return h + x if self.res else h
-
-
-class TUIB(tnn.Module):
-    def __init__(self, c_in, features, expand=4.0, dw_start=0, dw_mid=3,
-                 stride=1, act="relu"):
-        super().__init__()
-        stride_on_mid = dw_mid > 0
-        self.dws = TConvBNAct(c_in, c_in, dw_start,
-                              1 if stride_on_mid else stride,
-                              groups=c_in, act=None) if dw_start > 0 else None
-        mid = make_divisible(c_in * expand)
-        self.exp = TConvBNAct(c_in, mid, 1, 1, act=act)
-        self.dwm = TConvBNAct(mid, mid, dw_mid, stride, groups=mid,
-                              act=act) if dw_mid > 0 else None
-        self.proj = TConvBNAct(mid, features, 1, 1, act=None)
-        self.res = stride == 1 and c_in == features
-        self.c_out = features
-
-    def forward(self, x):
-        h = x
-        if self.dws:
-            h = self.dws(h)
-        h = self.exp(h)
-        if self.dwm:
-            h = self.dwm(h)
-        h = self.proj(h)
-        return h + x if self.res else h
-
-
-def _t_block(kind, kw, c_in):
-    kw = dict(kw)
-    if kind == "conv":
-        return TConvBNAct(c_in, kw["features"], kw.get("kernel", 3),
-                          kw.get("stride", 1), kw.get("groups", 1),
-                          kw.get("act", "silu"))
-    if kind == "mb":
-        return TMBConv(c_in, kw["features"], kw.get("expand", 6.0),
-                       kw.get("kernel", 3), kw.get("stride", 1),
-                       kw.get("se_ratio", 0.0), kw.get("act", "relu6"))
-    if kind == "fused":
-        return TFusedMBConv(c_in, kw["features"], kw.get("expand", 4.0),
-                            kw.get("kernel", 3), kw.get("stride", 1),
-                            kw.get("act", "silu"))
-    if kind == "uib":
-        return TUIB(c_in, kw["features"], kw.get("expand", 4.0),
-                    kw.get("dw_start", 0), kw.get("dw_mid", 3),
-                    kw.get("stride", 1), kw.get("act", "relu"))
-    raise NotImplementedError(kind)
-
-
-class TorchTwin(tnn.Module):
-    """Torch network with identical math + timm-like registration order."""
-
-    def __init__(self, name):
-        super().__init__()
-        stem, stages, info = _specs()[name]
-        c = 3
-        mods = []
-        for kind, kw in stem:
-            m = _t_block(kind, dict(kw), c)
-            mods.append(m)
-            c = m.c_out
-        self.stem = tnn.Sequential(*mods)
-        self.stages = tnn.ModuleList()
-        for stage in stages:
-            mods = []
-            for kind, kw in stage:
-                m = _t_block(kind, dict(kw), c)
-                mods.append(m)
-                c = m.c_out
-            self.stages.append(tnn.Sequential(*mods))
-
-    def forward(self, x):
-        x = self.stem(x)
-        feats = []
-        for s in self.stages:
-            x = s(x)
-            feats.append(x)
-        return feats
-
+from yololite_tpu.models.backbones.torch_twin import TorchTwin  # noqa: E402
 
 def _randomize_bn(model):
     g = torch.Generator().manual_seed(0)

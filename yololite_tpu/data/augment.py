@@ -214,6 +214,50 @@ def motion_blur(img, rng, k=3):
     return cv2.filter2D(img, -1, kernel)
 
 
+def elastic_transform(img, boxes, rng, alpha=1.0, sigma=50.0):
+    """Elastic warp (ElasticTransform(alpha=1, sigma=50) in the reference's
+    strong pipeline, augment.py:114). A Gaussian-smoothed random displacement
+    field remaps pixels; boxes follow the AABB of their displaced corners.
+    At alpha=1 the displacement is sub-pixel — a photometric-scale jiggle."""
+    h, w = img.shape[:2]
+    # coarse field blurred up: equivalent smoothing at a fraction of the cost
+    # of a full-res GaussianBlur with a 4*sigma kernel
+    gh, gw = max(h // 8, 2), max(w // 8, 2)
+    dx = cv2.resize(rng.uniform(-1, 1, (gh, gw)).astype(np.float32), (w, h))
+    dy = cv2.resize(rng.uniform(-1, 1, (gh, gw)).astype(np.float32), (w, h))
+    s8 = max(sigma / 8.0, 0.5)
+    k = int(s8 * 4) | 1
+    dx = cv2.GaussianBlur(dx, (k, k), s8) * alpha
+    dy = cv2.GaussianBlur(dy, (k, k), s8) * alpha
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    img = cv2.remap(img, xs + dx, ys + dy, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=PAD)
+    if len(boxes):
+        boxes = boxes.copy()
+        xi = boxes[:, [0, 2]].clip(0, w - 1).astype(np.int32)
+        yi = boxes[:, [1, 3]].clip(0, h - 1).astype(np.int32)
+        # remap maps output<-input, so corners move by -d
+        boxes[:, [0, 2]] -= dx[yi[:, [0, 1]], xi]
+        boxes[:, [1, 3]] -= dy[yi, xi[:, [0, 1]]]
+    return img, boxes
+
+
+def coarse_dropout(img, rng, num_holes=(3, 10), hole_h=(0.01, 0.05),
+                   hole_w=(0.01, 0.05)):
+    """CoarseDropout (reference strong pipeline augment.py:129-130): fill a few
+    small random rectangles with black. Labels unchanged (holes are small)."""
+    h, w = img.shape[:2]
+    img = img.copy()
+    for _ in range(rng.randint(num_holes[0], num_holes[1] + 1)):
+        hh = max(1, int(rng.uniform(*hole_h) * h))
+        hw = max(1, int(rng.uniform(*hole_w) * w))
+        y = rng.randint(0, max(1, h - hh))
+        x = rng.randint(0, max(1, w - hw))
+        img[y:y + hh, x:x + hw] = 0
+    return img
+
+
 # --------------------------------------------------------------------------- #
 # Composed pipelines
 # --------------------------------------------------------------------------- #
@@ -267,6 +311,63 @@ class TrainTransform:
                 orig_areas = orig_areas * (scale ** 2)
         boxes, labels = _filter_boxes(boxes, labels, self.img_size, self.img_size,
                                       orig_areas, self.min_visibility, self.min_area)
+        return canvas, boxes, labels
+
+
+class StrongTrainTransform:
+    """Reference get_strong_transform equivalent (scripts/data/augment.py:103-152):
+    HFlip p=0.5 (no VFlip), Affine p=0.3, Elastic(alpha=1,sigma=50) p=0.1,
+    color OneOf p=0.1, shadow-or-sunflare OneOf p=0.2, CoarseDropout p=0.2,
+    noise-or-blur OneOf p=0.3, letterbox, min_visibility=0.3 / min_area=0.
+    Unused by the reference's train.py; provided as an opt-in preset
+    (training.aug_preset: strong)."""
+
+    def __init__(self, img_size: int, use_resize: bool = False,
+                 photometric: bool = True):
+        self.img_size = img_size
+        self.use_resize = use_resize
+        self.photometric = photometric
+
+    def __call__(self, img, boxes, labels, rng: np.random.RandomState):
+        from yololite_tpu.data.weather import add_shadow, add_sunflare
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        labels = np.asarray(labels, np.int64).reshape(-1)
+        orig_areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+            np.maximum(boxes[:, 3] - boxes[:, 1], 0) if len(boxes) else None
+
+        if rng.rand() < 0.5:
+            img, boxes = hflip(img, boxes)
+        if self.use_resize:
+            h, w = img.shape[:2]
+            img = cv2.resize(img, (self.img_size, self.img_size),
+                             interpolation=cv2.INTER_LINEAR)
+            if len(boxes):
+                boxes = boxes * np.array([self.img_size / w, self.img_size / h] * 2,
+                                         np.float32)
+        if rng.rand() < 0.3:
+            img, boxes = random_affine(img, boxes, rng)
+        if rng.rand() < 0.1:
+            img, boxes = elastic_transform(img, boxes, rng)
+        if self.photometric and rng.rand() < 0.1:
+            op = rng.randint(5)
+            img = [random_brightness_contrast, color_jitter, hsv_shift,
+                   rgb_shift, channel_shuffle][op](img, rng)
+        if self.photometric and rng.rand() < 0.2:
+            img = add_shadow(img, rng) if rng.rand() < 0.5 else add_sunflare(img, rng)
+        if rng.rand() < 0.2:
+            img = coarse_dropout(img, rng)
+        if self.photometric and rng.rand() < 0.3:
+            img = gauss_noise(img, rng) if rng.rand() < 0.5 else motion_blur(img, rng)
+
+        canvas, scale, px, py = letterbox_image(img, self.img_size)
+        if len(boxes):
+            boxes = boxes * scale
+            boxes[:, [0, 2]] += px
+            boxes[:, [1, 3]] += py
+            if orig_areas is not None:
+                orig_areas = orig_areas * (scale ** 2)
+        boxes, labels = _filter_boxes(boxes, labels, self.img_size, self.img_size,
+                                      orig_areas, min_visibility=0.3, min_area=0.0)
         return canvas, boxes, labels
 
 

@@ -99,7 +99,8 @@ class YoloDataset:
                  use_resize: bool = False, mosaic_p: float = 0.2,
                  cutmix_p: float = 0.2, augment: bool = True, seed: int = 0,
                  task: str = "detect", proto_down: int = 4,
-                 cache_images: bool = False, photometric: bool = True):
+                 cache_images: bool = False, photometric: bool = True,
+                 aug_preset: str = "base"):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
@@ -115,6 +116,9 @@ class YoloDataset:
         # step instead (training.device_augment, data/device_augment.py) —
         # the host pipeline keeps geometry only.
         self.photometric = bool(photometric)
+        # "base" = reference get_base_transform; "strong" = get_strong_transform
+        # (scripts/data/augment.py:103-152, opt-in — unused by ref train.py)
+        self.aug_preset = str(aug_preset)
         self.transform = (self._make_train_transform(use_resize)
                           if self.augment_enabled else ValTransform(img_size, use_resize))
         self.val_transform = ValTransform(img_size, use_resize)
@@ -130,6 +134,10 @@ class YoloDataset:
             [None] * len(self.img_files) if cache_images else None)
 
     def _make_train_transform(self, use_resize: bool) -> TrainTransform:
+        if getattr(self, "aug_preset", "base") == "strong":
+            from yololite_tpu.data.augment import StrongTrainTransform
+            return StrongTrainTransform(self.img_size, use_resize,
+                                        photometric=self.photometric)
         if self.photometric:
             return TrainTransform(self.img_size, use_resize)
         return TrainTransform(self.img_size, use_resize, p_color=0.0,
@@ -299,13 +307,53 @@ class YoloDataset:
                 labels.append(c)
         return canvas, polys, np.asarray(labels, np.int64)
 
-    def _get_segment(self, idx: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
-        """Segmentation sample: the full geometric pipeline (mosaic, flips,
-        affine, letterbox) applied to polygon points, GT masks rasterized at
-        prototype resolution (stride `proto_down`) + full-res RLE for eval.
+    def cutmix_segment(self, img, polys, labels, other_idx: int,
+                       rng: np.random.RandomState, alpha: float = 0.7):
+        """Mask-aware CutMix (copy-paste): the donor image's smallest instance
+        is alpha-composited into this image *inside its polygon only* and the
+        shifted polygon becomes a new GT instance — the seg-path analogue of
+        `cutmix_focus_small` (reference scripts/data/dataset.py:179-230, which
+        is box-only). Compositing only the polygon region keeps the pasted
+        pixels and the supervising mask exactly aligned."""
+        items = self.poly_cache[other_idx]
+        if not items:
+            return img, polys, labels
+        img2 = self.load_image(other_idx)
+        h2, w2 = img2.shape[:2]
+        px2 = [p * np.array([w2, h2], np.float32) for _, p in items]
+        areas = [max(float(p[:, 0].max() - p[:, 0].min()), 1.0) *
+                 max(float(p[:, 1].max() - p[:, 1].min()), 1.0) for p in px2]
+        si = int(np.argmin(areas))
+        poly = px2[si]
+        x1, y1 = np.floor(poly.min(0)).astype(int)
+        x2, y2 = np.ceil(poly.max(0)).astype(int)
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(x2, w2), min(y2, h2)
+        patch = img2[y1:y2, x1:x2]
+        ph, pw = patch.shape[:2]
+        h, w = img.shape[:2]
+        if ph < 4 or pw < 4 or ph >= h or pw >= w:
+            return img, polys, labels
+        cx = rng.randint(0, max(1, w - pw))
+        cy = rng.randint(0, max(1, h - ph))
+        local = poly - np.array([x1, y1], np.float32)
+        pm = np.zeros((ph, pw), np.uint8)
+        cv2.fillPoly(pm, [np.round(local).astype(np.int32)], 1)
+        roi = img[cy:cy + ph, cx:cx + pw]
+        blend = (alpha * patch + (1 - alpha) * roi).astype(np.uint8)
+        img = img.copy()
+        img[cy:cy + ph, cx:cx + pw] = np.where(pm[..., None] > 0, blend, roi)
+        polys = list(polys) + [local + np.array([cx, cy], np.float32)]
+        labels = np.concatenate([np.asarray(labels, np.int64),
+                                 [np.int64(items[si][0])]])
+        return img, polys, labels
 
-        CutMix stays box-task-only (the pasted patch has no donor polygon);
-        photometric augs apply normally.
+    def _get_segment(self, idx: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        """Segmentation sample: the full geometric pipeline (mosaic, cutmix,
+        flips, affine, letterbox) applied to polygon points, GT masks
+        rasterized at prototype resolution (stride `proto_down`) + full-res
+        RLE for eval. CutMix is the mask-aware copy-paste variant
+        (`cutmix_segment`); photometric augs apply normally.
         """
         from yololite_tpu.data.augment import (affine_matrix, channel_shuffle,
                                                color_jitter, gauss_noise,
@@ -315,7 +363,8 @@ class YoloDataset:
         from yololite_tpu.ops.letterbox import letterbox_image
         s = self.img_size
         ps = self.proto_size
-        if self.augment_enabled and rng.rand() < self.mosaic_p:
+        p_mix = rng.rand() if self.augment_enabled else 1.0
+        if p_mix < self.mosaic_p:
             img, polys, labels = self.mosaic_segment(idx, rng)
             h, w = img.shape[:2]
         else:
@@ -324,6 +373,9 @@ class YoloDataset:
             items = self.poly_cache[idx]
             polys = [p * np.array([w, h], np.float32) for _, p in items]
             labels = np.array([c for c, _ in items], np.int64)
+            if p_mix < self.mosaic_p + self.cutmix_p:
+                img, polys, labels = self.cutmix_segment(
+                    img, polys, labels, int(rng.randint(0, len(self))), rng)
 
         if self.augment_enabled:
             if rng.rand() < 0.3:

@@ -142,7 +142,8 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                            img_size=img_size, is_train=True, augment=use_augment,
                            max_boxes=max_boxes, use_resize=use_resize, task=task,
                            cache_images=cache_images,
-                           photometric=not device_augment)
+                           photometric=not device_augment,
+                           aug_preset=str(tr.get("aug_preset", "base")))
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
