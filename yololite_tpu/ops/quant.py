@@ -88,3 +88,66 @@ def int8_inference():
     conv in the int8 path."""
     with nn.intercept_methods(quant_interceptor):
         yield
+
+
+# --------------------------------------------------------------------------- #
+# Quantization-aware training (QAT)
+# --------------------------------------------------------------------------- #
+
+def _ste(x: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through estimator: forward = q, gradient = identity on x."""
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def _fake_quant_conv(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
+    """Conv with fake-quantized (quantize->dequantize, STE) inputs + weights.
+
+    Mirrors `_int8_conv`'s arithmetic — per-output-channel symmetric weight
+    scale, dynamic per-tensor activation scale — but stays in float so
+    gradients flow: the network learns weights/activations that live on the
+    int8 grid, recovering the (small) PTQ accuracy gap for int8 deploys.
+
+    Caveat (documented scope): deploy-time BN folding (deploy/fold_norm.py)
+    changes the effective conv weights before their scales are taken, so QAT
+    here trains against unfolded-weight scales. The dominant PTQ error source
+    — activation clipping/rounding — is simulated exactly; weight-grid error
+    is second-order at 8 bits.
+    """
+    w = mod.variables["params"]["kernel"]
+    b = mod.variables["params"].get("bias") if mod.use_bias else None
+
+    wf = jnp.asarray(w, jnp.float32)
+    s_w = jax.lax.stop_gradient(jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0)
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_fq = _ste(wf, jnp.clip(jnp.round(wf / s_w), -127, 127) * s_w)
+
+    xf = jnp.asarray(x, jnp.float32)
+    s_x = jax.lax.stop_gradient(jnp.max(jnp.abs(xf)) / 127.0)
+    s_x = jnp.maximum(s_x, 1e-12)
+    x_fq = _ste(xf, jnp.clip(jnp.round(xf / s_x), -127, 127) * s_x)
+
+    strides = mod.strides if isinstance(mod.strides, (tuple, list)) else \
+        (mod.strides, mod.strides)
+    out = jax.lax.conv_general_dilated(
+        x_fq, w_fq, window_strides=tuple(strides), padding=mod.padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mod.feature_group_count)
+    if b is not None:
+        out = out + jnp.asarray(b, jnp.float32)
+    return out.astype(mod.dtype or jnp.float32)
+
+
+def qat_interceptor(next_fn, args, kwargs, context):
+    mod = context.module
+    if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
+            and _should_quantize(mod, args[0])):
+        return _fake_quant_conv(mod, args[0])
+    return next_fn(*args, **kwargs)
+
+
+@contextlib.contextmanager
+def fake_quant_training():
+    """Context manager: wrap `model.apply` (train or eval) so every quantized
+    conv runs the fake-quant QAT path. Enable with `training.qat: true`."""
+    with nn.intercept_methods(qat_interceptor):
+        yield

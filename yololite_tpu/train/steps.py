@@ -72,6 +72,9 @@ class Trainer:
         # stage (training.device_augment: true) AND augmentation is on at all.
         self.device_augment = bool(tr.get("device_augment", False)) and \
             bool(tr.get("augment", True))
+        # quantization-aware training (ops/quant.py): fake-quant every conv
+        # in the train AND eval forward so validation reflects int8 accuracy
+        self.qat = bool(tr.get("qat", False))
         self._aug_key = jax.random.PRNGKey(int(tr.get("seed", 1337) or 0) + 7)
 
         # shardings are carried by the (committed) inputs: state is replicated
@@ -157,8 +160,14 @@ class Trainer:
 
     def _forward_train(self, params, batch_stats, x):
         """Returns (outs, protos_or_None, mutated batch_stats)."""
-        out, mut = self.model.apply({"params": params, "batch_stats": batch_stats},
-                                    x, train=True, mutable=["batch_stats"])
+        import contextlib
+
+        from yololite_tpu.ops.quant import fake_quant_training
+        ctx = fake_quant_training() if self.qat else contextlib.nullcontext()
+        with ctx:
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=True, mutable=["batch_stats"])
         if self.model.with_masks:
             outs, protos = out
         else:
@@ -246,9 +255,14 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _eval_forward(self, params, batch_stats, images_u8):
         """Returns (outs list, protos_or_None)."""
+        import contextlib
+
+        from yololite_tpu.ops.quant import fake_quant_training
         x = normalize_images(images_u8, self.model.dtype)
-        out = self.model.apply({"params": params, "batch_stats": batch_stats},
-                               x, train=False)
+        ctx = fake_quant_training() if self.qat else contextlib.nullcontext()
+        with ctx:
+            out = self.model.apply({"params": params, "batch_stats": batch_stats},
+                                   x, train=False)
         if self.model.with_masks:
             return out
         return out, None
