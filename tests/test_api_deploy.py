@@ -208,3 +208,43 @@ def test_eval_variables_match_deploy_path(trained_run):
     for a, b in zip(out_deploy, out_eval):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_infer_batched_stream_matches_infer_batch(trained_run):
+    """Serving path (ROADMAP "serving pipeline"): the depth-N overlapped
+    batched stream must yield exactly what the synchronous batched call
+    produces, in order, for both raw-frame and prepared-batch modes."""
+    import jax.numpy as jnp
+    from yololite_tpu.deploy.predictor import Predictor
+
+    pred = Predictor(trained_run["ckpt"], dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    frames = [(rng.rand(60 + 8 * i, 90, 3) * 255).astype(np.uint8)
+              for i in range(6)]
+    batches = [frames[:2], frames[2:5], frames[5:]]
+
+    ref = [pred.infer_batch(b, conf=0.05) for b in batches]
+    got = list(pred.infer_batched_stream(batches, conf=0.05, depth=2))
+    assert len(got) == len(ref)
+    for rb, gb in zip(ref, got):
+        assert len(rb) == len(gb)
+        for r, g in zip(rb, gb):
+            np.testing.assert_allclose(r["boxes"], g["boxes"], atol=1e-3)
+            np.testing.assert_allclose(r["scores"], g["scores"], atol=1e-5)
+            np.testing.assert_array_equal(r["classes"], g["classes"])
+
+    # serial (depth=0) must agree with overlapped (depth=2)
+    got0 = list(pred.infer_batched_stream(batches, conf=0.05, depth=0))
+    for gb0, gb2 in zip(got0, got):
+        for r, g in zip(gb0, gb2):
+            np.testing.assert_allclose(r["boxes"], g["boxes"], atol=1e-6)
+
+    # prepared mode: device-space boxes, no back-mapping
+    size = pred.img_size
+    prep = np.zeros((2, size, size, 3), np.uint8)
+    prep[0, 8:40, 8:40] = 200
+    outs = list(pred.infer_batched_stream([prep], conf=0.05, depth=2,
+                                          prepared=True))
+    assert len(outs) == 1 and len(outs[0]) == 2
+    if len(outs[0][0]["boxes"]):
+        assert outs[0][0]["boxes"].max() <= size

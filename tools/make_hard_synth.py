@@ -112,8 +112,11 @@ def _clutter_background(rng, h: int, w: int) -> np.ndarray:
     return img
 
 
-def _place(rng, img, used_boxes, size, cls_id, max_overlap=0.5, tries=12):
-    """Try to place one instance; allows partial occlusion up to max_overlap."""
+def _place(rng, img, used_boxes, size, cls_id, max_overlap=0.5, tries=12,
+           full_mask=None):
+    """Try to place one instance; allows partial occlusion up to max_overlap.
+    With full_mask=(h,w), also returns the instance's full-image binary mask
+    (segmentation mode)."""
     h, w = img.shape[:2]
     if size >= min(h, w) - 2:
         return None
@@ -141,11 +144,49 @@ def _place(rng, img, used_boxes, size, cls_id, max_overlap=0.5, tries=12):
         ys, xs = np.nonzero(mask)
         tight = np.array([x1 + xs.min(), y1 + ys.min(),
                           x1 + xs.max() + 1, y1 + ys.max() + 1], np.float32)
+        if full_mask is not None:
+            fm = np.zeros(full_mask, np.uint8)
+            fm[y1:y1 + size, x1:x1 + size] = mask
+            return tight, fm
         return tight
     return None
 
 
-def make_image(rng, base: int = 640):
+def _visible_polygon(vis_mask: np.ndarray):
+    """Largest visible component of an instance mask -> one simple polygon.
+
+    Holes (the ring class, or occluders punching through the middle) are
+    carried via the standard slit trick: outer contour + reversed hole
+    contour joined at their nearest points form one simple polygon whose
+    rasterization reproduces the mask with the hole.
+    """
+    cnts, hier = cv2.findContours(vis_mask, cv2.RETR_CCOMP,
+                                  cv2.CHAIN_APPROX_TC89_L1)
+    if not cnts or hier is None:
+        return None
+    hier = hier[0]
+    # largest outer contour
+    outers = [i for i in range(len(cnts)) if hier[i][3] < 0]
+    if not outers:
+        return None
+    oi = max(outers, key=lambda i: cv2.contourArea(cnts[i]))
+    outer = cnts[oi][:, 0, :].astype(np.float32)
+    if len(outer) < 3:
+        return None
+    # largest hole of that contour (one slit is enough for this suite)
+    holes = [i for i in range(len(cnts)) if hier[i][3] == oi]
+    if holes:
+        hi = max(holes, key=lambda i: cv2.contourArea(cnts[i]))
+        hole = cnts[hi][:, 0, :].astype(np.float32)
+        if len(hole) >= 3 and cv2.contourArea(cnts[hi]) > 4:
+            d = np.linalg.norm(outer[:, None, :] - hole[None, :, :], axis=-1)
+            a, b = np.unravel_index(np.argmin(d), d.shape)
+            outer = np.concatenate([
+                outer[:a + 1], hole[b:], hole[:b + 1], outer[a:]], axis=0)
+    return outer
+
+
+def make_image(rng, base: int = 640, seg: bool = False):
     aw, ah = ASPECTS[rng.randint(len(ASPECTS))]
     if aw >= ah:
         w, h = base, int(round(base * ah / aw))
@@ -154,26 +195,53 @@ def make_image(rng, base: int = 640):
     img = _clutter_background(rng, h, w)
     probs = _zipf_probs(len(CLASSES))
     n_obj = rng.randint(8, 49)
-    boxes, labels = [], []
+    boxes, labels, inst_masks = [], [], []
     for _ in range(n_obj):
         cls_id = int(rng.choice(len(CLASSES), p=probs))
         # log-uniform sizes, biased small: 10..120 px (at base 640)
         size = int(np.exp(rng.uniform(np.log(10), np.log(120))))
-        tight = _place(rng, img, boxes, size, cls_id)
-        if tight is None:
+        placed = _place(rng, img, boxes, size, cls_id,
+                        full_mask=(h, w) if seg else None)
+        if placed is None:
             continue
+        tight, fmask = placed if seg else (placed, None)
         boxes.append(tight)
         labels.append(cls_id)
+        if seg:
+            inst_masks.append(fmask)
+    polys = None
+    if seg:
+        # visible region = own mask minus everything drawn later (draw order
+        # is paint order, so later instances occlude earlier ones)
+        polys, kboxes, klabels = [], [], []
+        for i, m in enumerate(inst_masks):
+            vis = m.copy()
+            for later in inst_masks[i + 1:]:
+                vis[later > 0] = 0
+            if vis.sum() < 0.25 * m.sum():
+                continue  # mostly occluded: drop instance entirely
+            poly = _visible_polygon(vis)
+            if poly is None:
+                continue
+            x1, y1 = poly.min(axis=0)
+            x2, y2 = poly.max(axis=0)
+            if (x2 - x1) < 3 or (y2 - y1) < 3:
+                continue
+            polys.append(poly)
+            kboxes.append(np.array([x1, y1, x2 + 1, y2 + 1], np.float32))
+            klabels.append(labels[i])
+        boxes, labels = kboxes, klabels
     # photometric nuisance
     img = img * rng.uniform(0.75, 1.25) + rng.uniform(-20, 20)
     img += rng.randn(h, w, 3) * rng.uniform(0, 8)
     if rng.rand() < 0.3:
         img = cv2.GaussianBlur(img, (3, 3), 0)
     img = np.clip(img, 0, 255).astype(np.uint8)
-    return img, np.asarray(boxes, np.float32).reshape(-1, 4), np.asarray(labels)
+    return (img, np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(labels), polys)
 
 
-def write_split(root, split, n, seed, base):
+def write_split(root, split, n, seed, base, seg=False):
     idir = os.path.join(root, split, "images")
     ldir = os.path.join(root, split, "labels")
     os.makedirs(idir, exist_ok=True)
@@ -181,16 +249,22 @@ def write_split(root, split, n, seed, base):
     rng = np.random.RandomState(seed)
     counts = np.zeros(len(CLASSES), np.int64)
     for i in range(n):
-        img, boxes, labels = make_image(rng, base)
+        img, boxes, labels, polys = make_image(rng, base, seg=seg)
         h, w = img.shape[:2]
         cv2.imwrite(os.path.join(idir, f"{i:05d}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, 92])
         lines = []
-        for (x1, y1, x2, y2), c in zip(boxes, labels):
-            cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
-            bw, bh = (x2 - x1) / w, (y2 - y1) / h
-            lines.append(f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        for j, ((x1, y1, x2, y2), c) in enumerate(zip(boxes, labels)):
+            if seg:
+                pts = polys[j] / np.array([w, h], np.float32)
+                pts = np.clip(pts, 0.0, 1.0)
+                coords = " ".join(f"{v:.5f}" for v in pts.reshape(-1))
+                lines.append(f"{int(c)} {coords}")
+            else:
+                cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+                bw, bh = (x2 - x1) / w, (y2 - y1) / h
+                lines.append(f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
             counts[int(c)] += 1
         with open(os.path.join(ldir, f"{i:05d}.txt"), "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
@@ -204,10 +278,15 @@ def main():
     ap.add_argument("--n_val", type=int, default=400)
     ap.add_argument("--base", type=int, default=640)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--seg", action="store_true",
+                    help="emit YOLO-seg polygon labels (occlusion-aware "
+                         "visible regions; ring holes via slit polygons)")
     args = ap.parse_args()
 
-    tc = write_split(args.out, "train", args.n_train, args.seed, args.base)
-    vc = write_split(args.out, "valid", args.n_val, args.seed + 1, args.base)
+    tc = write_split(args.out, "train", args.n_train, args.seed, args.base,
+                     seg=args.seg)
+    vc = write_split(args.out, "valid", args.n_val, args.seed + 1, args.base,
+                     seg=args.seg)
     with open(os.path.join(args.out, "data.yaml"), "w") as f:
         yaml.safe_dump({"train": f"{args.out}/train/images",
                         "val": f"{args.out}/valid/images",

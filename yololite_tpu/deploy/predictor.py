@@ -341,6 +341,75 @@ class Predictor:
         while inflight:
             yield finalize(inflight.popleft())
 
+    def infer_batched_stream(self, batches, img_size: Optional[int] = None,
+                             conf: float = 0.25, iou: float = 0.45,
+                             max_det: int = 300, depth: int = 2,
+                             prepared: bool = False):
+        """Sustained batched serving: a generator over an iterable of frame
+        BATCHES that keeps `depth` batched device calls in flight (the
+        batched analogue of infer_stream; ROADMAP "serving pipeline").
+
+        Because JAX dispatch is asynchronous, not blocking after launch lets
+        batch i+1's host letterbox + s2d pack + H2D upload overlap batch i's
+        device compute, so steady-state throughput approaches the pure
+        device dispatch rate instead of host+device in series.
+
+        Each item of `batches` is a list of BGR frames (variable length;
+        padded to a power-of-2 bucket), or — with prepared=True — an already
+        letterboxed uint8 array [B, S, S, 3] from an upstream preprocessing
+        tier, in which case back-mapping is skipped and device-space outputs
+        are yielded directly. Yields one list of result dicts per input
+        batch, in order.
+        """
+        from collections import deque
+        img_size = int(img_size or self.img_size)
+        inflight = deque()
+
+        def finalize(item):
+            out, geoms, sizes, n, t_pre = item
+            boxes, scores, classes, valid = (np.asarray(x) for x in out[:4])
+            results = []
+            for i in range(n):
+                m = valid[i]
+                if geoms is None:
+                    b = boxes[i][m]
+                else:
+                    (scale, px, py), (h, w) = geoms[i], sizes[i]
+                    b = unletterbox_boxes(boxes[i][m], scale, px, py, w, h)
+                results.append({"boxes": b, "scores": scores[i][m],
+                                "classes": classes[i][m], "names": self.names,
+                                "speed": {"preprocess_ms": t_pre * 1e3 / n}})
+            return results
+
+        for item in batches:
+            t0 = time.perf_counter()
+            if prepared:
+                batch, geoms, sizes, n = np.asarray(item), None, None, len(item)
+            else:
+                canvases, geoms, sizes = [], [], []
+                for f in item:
+                    rgb = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+                    canvas, geom = self.preprocess(rgb, img_size)
+                    canvases.append(canvas)
+                    geoms.append(geom)
+                    sizes.append(f.shape[:2])
+                n = len(item)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                batch = np.zeros((bucket, img_size, img_size, 3), np.uint8)
+                batch[:n] = np.stack(canvases)
+            t_pre = time.perf_counter() - t0
+            out = self._run(img_size, conf, iou, max_det, batch)  # async
+            inflight.append((out, geoms, sizes, n, t_pre))
+            if depth <= 0:  # fully synchronous (serial baseline for benches)
+                jax.block_until_ready(out)
+                yield finalize(inflight.popleft())
+            elif len(inflight) > depth:
+                yield finalize(inflight.popleft())
+        while inflight:
+            yield finalize(inflight.popleft())
+
     def warmup(self, img_size: Optional[int] = None, conf: float = 0.25,
                iou: float = 0.45, max_det: int = 300):
         img_size = int(img_size or self.img_size)
