@@ -138,7 +138,8 @@ def main():
                                       d["cls"].astype(jnp.float32))
         return batched_nms(d["box"].astype(jnp.float32), scores, classes,
                            iou_th=0.65, conf_th=0.25, max_det=100,
-                           pre_nms_topk=256, approx_topk=True)
+                           pre_nms_topk=256, approx_topk=True,
+                           fixpoint_unroll=8)
 
     rng = np.random.RandomState(0)
     images_np = pack_s2d(

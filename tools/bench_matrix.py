@@ -82,7 +82,8 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
                            d["cls"].astype(jnp.float32))
         b, sc, cl, v_, idx = batched_nms(d["box"].astype(jnp.float32), s, c,
                                          iou_th=0.65, conf_th=0.25, max_det=100,
-                                         pre_nms_topk=256, approx_topk=True)
+                                         pre_nms_topk=256, approx_topk=True,
+                                         fixpoint_unroll=8)
         if protos is not None:
             coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
                                        idx[..., None], axis=1)

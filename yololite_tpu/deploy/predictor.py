@@ -128,7 +128,8 @@ class Predictor:
                                               d["cls"].astype(jnp.float32))
                 b, s_, c_, v_, idx = batched_nms(
                     d["box"].astype(jnp.float32), scores, classes,
-                    iou_th=iou, conf_th=conf, max_det=max_det, pre_nms_topk=512)
+                    iou_th=iou, conf_th=conf, max_det=max_det, pre_nms_topk=512,
+                    fixpoint_unroll=8)
                 if with_masks:
                     from yololite_tpu.ops.masks import assemble_masks_batch
                     coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),

@@ -28,7 +28,8 @@ from flax import linen as nn
 
 from yololite_tpu.models.backbones import build_backbone, backbone_feature_info
 from yololite_tpu.models.layers import (
-    ConvBNAct, ConvBlock, DWConvBlock, constant_bias_init, upsample_nearest_to,
+    ConvBNAct, ConvBlock, DWConvBlock, TConv, constant_bias_init,
+    torch_conv_init, upsample_nearest_to,
 )
 
 Dtype = Any
@@ -74,19 +75,19 @@ class DetectHead(nn.Module):
             # deploy/fuse_head.fuse_head_params (exact concat of the trained
             # kernels; checkpoints keep the reference's split layout).
             tot = A * (5 + C + K)
-            out = nn.Conv(tot, (1, 1), dtype=self.dtype, name="fused_out")(p)
+            out = TConv(tot, (1, 1), dtype=self.dtype, name="fused_out")(p)
             box = out[..., :A * 4]
             obj = out[..., A * 4:A * 5]
             cls = out[..., A * 5:A * (5 + C)]
             coef = out[..., A * (5 + C):] if K > 0 else None
         else:
-            box = nn.Conv(A * 4, (1, 1), dtype=self.dtype, name="box",
+            box = TConv(A * 4, (1, 1), dtype=self.dtype, name="box",
                           bias_init=constant_bias_init(0.0))(p)
-            obj = nn.Conv(A * 1, (1, 1), dtype=self.dtype, name="obj",
+            obj = TConv(A * 1, (1, 1), dtype=self.dtype, name="obj",
                           bias_init=constant_bias_init(obj_bias))(p)
-            cls = nn.Conv(A * C, (1, 1), dtype=self.dtype, name="cls",
+            cls = TConv(A * C, (1, 1), dtype=self.dtype, name="cls",
                           bias_init=constant_bias_init(cls_bias))(p)
-            coef = (nn.Conv(A * K, (1, 1), dtype=self.dtype, name="mcoef")(p)
+            coef = (TConv(A * K, (1, 1), dtype=self.dtype, name="mcoef")(p)
                     if K > 0 else None)
         B, S1, S2, _ = box.shape
         parts = [box.reshape(B, S1, S2, A, 4),
@@ -110,7 +111,7 @@ class ProtoNet(nn.Module):
         h = ConvBNAct(self.fpn_channels, 3, 1, act="silu", dtype=self.dtype)(p3, train)
         h = upsample_nearest_to(h, (p3.shape[1] * 2, p3.shape[2] * 2))
         h = ConvBNAct(self.fpn_channels, 3, 1, act="silu", dtype=self.dtype)(h, train)
-        return nn.Conv(self.num_prototypes, (1, 1), dtype=self.dtype,
+        return TConv(self.num_prototypes, (1, 1), dtype=self.dtype,
                        name="proto_out")(h)
 
 
@@ -189,7 +190,7 @@ class YOLOLiteMS(nn.Module):
             c3, c4, c5 = feats
 
         ch = self.scaled_fpn_channels
-        lat = lambda nm: nn.Conv(ch, (1, 1), dtype=self.dtype, name=nm)
+        lat = lambda nm: TConv(ch, (1, 1), dtype=self.dtype, name=nm)
         up_add = lambda x, y: upsample_nearest_to(x, (y.shape[1], y.shape[2])) + y
 
         p5 = self._smooth("smooth5")(lat("lateral5")(c5), train)

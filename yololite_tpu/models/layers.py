@@ -15,6 +15,7 @@ the "fold BN at inference" deploy trick.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -22,6 +23,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# Reference-parity weight init: torch Conv2d default kaiming_uniform(a=sqrt(5))
+# = U(-1/sqrt(fan_in), 1/sqrt(fan_in)) = variance_scaling(1/3, fan_in, uniform)
+# (model_v2.py uses torch defaults; flax's lecun_normal converged measurably
+# slower in the r3 head-to-head training comparison).
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                   "uniform")
+TConv = partial(nn.Conv, kernel_init=torch_conv_init)
 
 ACTS = {
     "silu": jax.nn.silu,
@@ -59,7 +68,7 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
+        x = TConv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)],
                     feature_group_count=self.groups,
@@ -96,9 +105,9 @@ class DWConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         for _ in range(self.n):
             c_in = x.shape[-1]
-            x = nn.Conv(c_in, (3, 3), padding=[(1, 1), (1, 1)],
+            x = TConv(c_in, (3, 3), padding=[(1, 1), (1, 1)],
                         feature_group_count=c_in, use_bias=False, dtype=self.dtype)(x)
-            x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            x = TConv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
             x = jax.nn.relu(x)
@@ -114,9 +123,9 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.se_features, (1, 1), dtype=self.dtype)(s)
+        s = TConv(self.se_features, (1, 1), dtype=self.dtype)(s)
         s = ACTS[self.act](s)
-        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
+        s = TConv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
         return x * self.gate(s)
 
 
@@ -238,7 +247,7 @@ class ConvNeXtV2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(self.features, (7, 7), padding=[(3, 3), (3, 3)],
+        h = TConv(self.features, (7, 7), padding=[(3, 3), (3, 3)],
                     feature_group_count=self.features, dtype=self.dtype)(x)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(h)
         h = nn.Dense(self.features * 4, dtype=self.dtype)(h)
