@@ -149,12 +149,13 @@ def main():
     # buffer directly into them — the program then starts at the stem conv
     # instead of a relayout copy (deploy/layout.py; ~+10% at b128).
     from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
+    from yololite_tpu.deploy.layout import checked_call
     compiled, fmts = compile_with_preferred_layouts(
         infer_fn, variables, jax.ShapeDtypeStruct(images_np.shape, np.uint8))
     if compiled is not None:
         variables = place(variables, fmts[0])
         images = place(images_np, fmts[1])
-        infer = compiled
+        infer = checked_call(compiled, infer_fn)
     else:
         images = jnp.asarray(images_np)
         infer = jax.jit(infer_fn)

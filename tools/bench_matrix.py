@@ -97,12 +97,13 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
     if s2d:
         x_np = pack_s2d(x_np)
     # deploy path = AOT with XLA-preferred input layouts (deploy/layout.py)
+    from yololite_tpu.deploy.layout import checked_call
     comp, fmts = compile_with_preferred_layouts(
         infer, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
     if comp is not None:
         variables = place(variables, fmts[0])
         x = place(x_np, fmts[1])
-        infer = comp
+        infer = checked_call(comp, infer)
     else:
         x = jnp.asarray(x_np)
         infer = jax.jit(infer)

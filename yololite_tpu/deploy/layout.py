@@ -53,3 +53,28 @@ def compile_with_preferred_layouts(fn, *example_args
 def place(tree, formats):
     """device_put every leaf of `tree` into its preferred Format."""
     return jax.tree.map(lambda a, f: jax.device_put(a, f), tree, formats)
+
+
+def checked_call(compiled, fn):
+    """Wrap an AOT executable with a permanent plain-jit fallback.
+
+    Observed with the axon tunnel backend (r3): for some graphs
+    `compiled.input_formats` disagrees with the layouts the executable
+    actually requires, so the placed arguments are rejected with
+    "Computation was compiled for input layouts that disagree..." at call
+    time. jit accepts any input layout (it re-inserts the relayout copy),
+    so correctness is never at risk — only the ~6% relayout saving is lost
+    for that graph.
+    """
+    state = {}
+
+    def call(variables, x):
+        if "fb" in state:
+            return state["fb"](variables, x)
+        try:
+            return compiled(variables, x)
+        except ValueError:
+            state["fb"] = jax.jit(fn)
+            return state["fb"](variables, x)
+
+    return call

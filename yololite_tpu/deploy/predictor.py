@@ -157,13 +157,14 @@ class Predictor:
         entry = self._aot.get(skey)
         if entry is None:
             from yololite_tpu.deploy.layout import (
-                compile_with_preferred_layouts, place)
+                checked_call, compile_with_preferred_layouts, place)
             fn = self._make_fn(img_size, conf, iou, max_det)
             compiled, fmts = compile_with_preferred_layouts(
                 fn, self.variables,
                 jax.ShapeDtypeStruct(batch_np.shape, np.uint8))
             if compiled is not None:
-                entry = (compiled, place(self.variables, fmts[0]), fmts[1])
+                entry = (checked_call(compiled, fn),
+                         place(self.variables, fmts[0]), fmts[1])
             else:
                 entry = (jax.jit(fn), self.variables, None)
             self._aot[skey] = entry
