@@ -25,7 +25,12 @@ while [ "$start" -lt "$EPOCHS" ]; do
   echo "=== chunk from epoch $start $(date +%T) ===" >> "$LOG"
   timeout "$CHUNK" python tools/train.py "${args[@]}" >> "$LOG" 2>&1
   rc=$?
-  rundir=$(readlink -f "$RUNS_PARENT/latest")
+  # resolve OUR run dir from the log, not `latest` — a concurrent training
+  # run re-points the symlink and the next chunk would resume from a
+  # different model's checkpoint (observed r3: yololite_n chunk resumed an
+  # edge_n ckpt -> ScopeParamShapeError)
+  rundir=$(grep -ao "saved to [^ ]*runs/train/[0-9]*" "$LOG" | tail -1 | sed 's/^saved to //')
+  [ -z "$rundir" ] && rundir=$(readlink -f "$RUNS_PARENT/latest")
   done_epoch=$(grep -a -o "Epoch [0-9]*/$EPOCHS" "$LOG" | tail -1 | grep -o "^Epoch [0-9]*" | tr -dc 0-9)
   if [ -z "$done_epoch" ]; then
     if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
