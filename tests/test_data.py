@@ -220,3 +220,64 @@ def test_dataset_strong_preset(ds_root):
     ds.set_augment(False)
     from yololite_tpu.data.augment import ValTransform
     assert isinstance(ds.transform, ValTransform)
+
+
+def test_shard_striping_partitions_exactly(ds_root):
+    """Per-host stripes are disjoint, cover everything, and preserve order."""
+    img_dir = os.path.join(ds_root, "train", "images")
+    lbl_dir = os.path.join(ds_root, "train", "labels")
+    full = YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
+                       augment=False)
+    shards = [YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
+                          augment=False, shard_index=i, shard_count=3)
+              for i in range(3)]
+    union = sorted(sum((s.img_files for s in shards), []))
+    assert union == full.img_files                      # exact cover, no dupes
+    assert {len(s) for s in shards} <= {2, 3}           # 8 files over 3 stripes
+    # label cache aligns with the stripe, not the full list
+    for s in shards:
+        assert len(s.labels_cache) == len(s.img_files)
+    with pytest.raises(ValueError):
+        YoloDataset(img_dir, lbl_dir, shard_index=3, shard_count=3)
+
+
+def test_lru_image_cache_budget_and_correctness(ds_root):
+    img_dir = os.path.join(ds_root, "train", "images")
+    lbl_dir = os.path.join(ds_root, "train", "labels")
+    ds_ref = YoloDataset(img_dir, lbl_dir, img_size=96, is_train=False,
+                         augment=False)
+    one = ds_ref.load_image(0)
+    # budget for ~3 decoded images -> dataset of 8 must evict but stay correct
+    budget_mb = 3 * one.nbytes / 2**20
+    ds = YoloDataset(img_dir, lbl_dir, img_size=96, is_train=False,
+                     augment=False, cache_budget_mb=budget_mb)
+    assert ds.lru_cache is not None and ds.image_cache is None
+    for _ in range(2):  # two epochs
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds.load_image(i), ds_ref.load_image(i))
+            assert ds.lru_cache.nbytes <= budget_mb * 2**20
+    # sequential scans with capacity < len(ds) always miss (LRU worst case)
+    assert ds.lru_cache.misses > len(ds)
+    # but temporal locality hits: the most recent index is still cached
+    h0 = ds.lru_cache.hits
+    ds.load_image(len(ds) - 1)
+    assert ds.lru_cache.hits == h0 + 1
+
+
+def test_lru_cache_rejects_oversized_single_image():
+    from yololite_tpu.data.dataset import _LRUImageCache
+    c = _LRUImageCache(budget_bytes=100)
+    big = np.zeros((10, 10, 3), np.uint8)  # 300 B > budget
+    c.put(0, big)
+    assert c.get(0) is None and c.nbytes == 0
+
+
+def test_sharded_loader_yields_only_stripe(ds_root):
+    img_dir = os.path.join(ds_root, "train", "images")
+    lbl_dir = os.path.join(ds_root, "train", "labels")
+    ds = YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
+                     augment=False, shard_index=1, shard_count=2)
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=False,
+                        seed=0, num_workers=0)
+    n = sum(b["image"].shape[0] for b in loader)
+    assert n == len(ds) and len(ds) == 4  # half of the 8 train images

@@ -93,6 +93,52 @@ def parse_yolo_label_file(path: str) -> np.ndarray:
     return np.zeros((0, 5), dtype=np.float32)
 
 
+class _LRUImageCache:
+    """Bounded decoded-image cache (byte budget, LRU eviction, thread-safe).
+
+    For datasets too large for a host's RAM: hot images stay decoded, cold
+    ones stream from disk. Per-host byte budget — on a multi-host pod each
+    process caches only its own shard's hot set."""
+
+    def __init__(self, budget_bytes: int):
+        import threading
+        from collections import OrderedDict
+        self.budget = int(budget_bytes)
+        self._od: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, idx: int) -> Optional[np.ndarray]:
+        with self._lock:
+            img = self._od.get(idx)
+            if img is not None:
+                self._od.move_to_end(idx)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return img
+
+    def put(self, idx: int, img: np.ndarray) -> None:
+        nb = img.nbytes
+        if nb > self.budget:
+            return  # a single image over budget: never cache it
+        with self._lock:
+            old = self._od.pop(idx, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+            self._od[idx] = img
+            self._bytes += nb
+            while self._bytes > self.budget and self._od:
+                _, ev = self._od.popitem(last=False)
+                self._bytes -= ev.nbytes
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+
 class YoloDataset:
     def __init__(self, img_dir: str, label_dir: str, img_size: int = 640,
                  is_train: bool = True, max_boxes: int = 100,
@@ -100,12 +146,27 @@ class YoloDataset:
                  cutmix_p: float = 0.2, augment: bool = True, seed: int = 0,
                  task: str = "detect", proto_down: int = 4,
                  cache_images: bool = False, photometric: bool = True,
-                 aug_preset: str = "base"):
+                 aug_preset: str = "base", shard_index: int = 0,
+                 shard_count: int = 1, cache_budget_mb: Optional[float] = None):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
         if len(self.img_files) == 0:
             raise ValueError(f"No images found in {img_dir}")
+        # per-host shard striping (multi-host pods: each process ingests only
+        # its stripe of the sorted file list, so the label cache, any image
+        # cache and disk reads all scale 1/N per host; reference has no
+        # distributed ingestion at all, SURVEY.md §2)
+        if not (0 <= int(shard_index) < int(shard_count)):
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
+        self.shard_index = int(shard_index)
+        self.shard_count = int(shard_count)
+        if self.shard_count > 1:
+            self.img_files = self.img_files[self.shard_index::self.shard_count]
+            if len(self.img_files) == 0:
+                raise ValueError(
+                    f"Shard {shard_index}/{shard_count} of {img_dir} is empty")
         self.img_size = int(img_size)
         self.is_train = bool(is_train)
         self.max_boxes = int(max_boxes)
@@ -129,9 +190,15 @@ class YoloDataset:
         self.poly_cache = self._cache_polygons() if task == "segment" else None
         # optional decoded-image RAM cache (original resolution, uint8 RGB).
         # Each epoch re-decodes every JPEG otherwise; for datasets that fit in
-        # host RAM this removes imread from the hot loop entirely.
-        self.image_cache: Optional[List[Optional[np.ndarray]]] = (
-            [None] * len(self.img_files) if cache_images else None)
+        # host RAM this removes imread from the hot loop entirely. With a
+        # cache_budget_mb the cache is a bounded LRU instead (streaming
+        # ingestion: hot set cached, cold images re-read from disk).
+        self.lru_cache: Optional[_LRUImageCache] = None
+        self.image_cache: Optional[List[Optional[np.ndarray]]] = None
+        if cache_budget_mb is not None:
+            self.lru_cache = _LRUImageCache(int(float(cache_budget_mb) * 2**20))
+        elif cache_images:
+            self.image_cache = [None] * len(self.img_files)
 
     def _make_train_transform(self, use_resize: bool) -> TrainTransform:
         if getattr(self, "aug_preset", "base") == "strong":
@@ -189,7 +256,11 @@ class YoloDataset:
         return len(self.img_files)
 
     def load_image(self, idx: int) -> np.ndarray:
-        if self.image_cache is not None:
+        if self.lru_cache is not None:
+            cached = self.lru_cache.get(idx)
+            if cached is not None:
+                return cached
+        elif self.image_cache is not None:
             cached = self.image_cache[idx]
             if cached is not None:
                 return cached
@@ -197,7 +268,9 @@ class YoloDataset:
         if img is None:
             raise ValueError(f"Image not found or corrupt: {self.img_files[idx]}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if self.image_cache is not None:
+        if self.lru_cache is not None:
+            self.lru_cache.put(idx, img)
+        elif self.image_cache is not None:
             self.image_cache[idx] = img  # per-slot write: thread-safe
         return img
 

@@ -136,19 +136,30 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     if config["model"].get("with_masks"):
         task = "segment"
     cache_images = bool(tr.get("cache_images", False))
+    cache_budget_mb = tr.get("cache_budget_mb")  # bounded LRU image cache
     device_augment = bool(tr.get("device_augment", False))
+    # multi-host pods: each process ingests only its stripe of the train set
+    # (disjoint local batches -> the global batch assembled by shard_batch is
+    # a true sample without cross-host duplicates; label/image caches scale
+    # 1/N per host). Val stays unsharded: every process evaluates the full
+    # set so the metrics each host logs are the global ones.
+    n_proc = jax.process_count()
     train_ds = YoloDataset(config["dataset"]["train_images"],
                            config["dataset"]["train_labels"],
                            img_size=img_size, is_train=True, augment=use_augment,
                            max_boxes=max_boxes, use_resize=use_resize, task=task,
                            cache_images=cache_images,
+                           cache_budget_mb=cache_budget_mb,
                            photometric=not device_augment,
-                           aug_preset=str(tr.get("aug_preset", "base")))
+                           aug_preset=str(tr.get("aug_preset", "base")),
+                           shard_index=jax.process_index() if n_proc > 1 else 0,
+                           shard_count=n_proc if n_proc > 1 else 1)
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
                          max_boxes=max_boxes, use_resize=use_resize, task=task,
-                         cache_images=cache_images)
+                         cache_images=cache_images,
+                         cache_budget_mb=cache_budget_mb)
     num_workers = int(tr.get("num_workers", 4) or 0)
     train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                               seed=int(tr.get("seed", 1337)),
