@@ -147,14 +147,13 @@ def main():
 
     # AOT-compile with XLA-chosen input layouts and place weights + image
     # buffer directly into them — the program then starts at the stem conv
-    # instead of a relayout copy (deploy/layout.py; ~+10% at b128).
-    from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
-    from yololite_tpu.deploy.layout import checked_call
-    compiled, fmts = compile_with_preferred_layouts(
-        infer_fn, variables, jax.ShapeDtypeStruct(images_np.shape, np.uint8))
+    # instead of a relayout copy (deploy/layout.py; ~+10% at b128). The
+    # compile is pinned to the layouts device_put ACTUALLY produced (the
+    # tunnel backend ignores a few requested layouts — r4 finding).
+    from yololite_tpu.deploy.layout import aot_compile_and_place, checked_call
+    compiled, placed = aot_compile_and_place(infer_fn, variables, images_np)
     if compiled is not None:
-        variables = place(variables, fmts[0])
-        images = place(images_np, fmts[1])
+        variables, images = placed
         infer = checked_call(compiled, infer_fn)
     else:
         images = jnp.asarray(images_np)

@@ -104,6 +104,24 @@ def main():
     print(f"MULTIHOST_OK pid={args.process_id} loss={total:.6f} "
           f"checksum={checksum:.6f}", flush=True)
 
+    # ---- multi-host validation path (train/loop.py eval epoch) ----------
+    # Every process evaluates the full val set LOCALLY: put_eval_batch must
+    # bypass the global mesh (batch-sharding identical per-host copies would
+    # both duplicate the set and make the detections span non-addressable
+    # devices) and local_eval_variables pulls the replicated EMA weights to
+    # addressable storage. np.asarray on the detections must succeed.
+    eval_vars = trainer.local_eval_variables(trainer.ema_variables(state))
+    eval_batch = trainer.put_eval_batch(
+        {**batch_np, "image_id": np.arange(local_batch)})
+    vmetrics, dets = trainer.eval_step(eval_vars, eval_batch,
+                                       conf_th=0.1, iou_th=0.65)
+    dets_np = {k: np.asarray(v) for k, v in dets.items()}
+    assert dets_np["boxes"].shape[0] == local_batch
+    vloss = float(vmetrics["total"])
+    assert np.isfinite(vloss), f"non-finite val loss: {vloss}"
+    print(f"MULTIHOST_EVAL_OK pid={args.process_id} vloss={vloss:.6f}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

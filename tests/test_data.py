@@ -222,8 +222,10 @@ def test_dataset_strong_preset(ds_root):
     assert isinstance(ds.transform, ValTransform)
 
 
-def test_shard_striping_partitions_exactly(ds_root):
-    """Per-host stripes are disjoint, cover everything, and preserve order."""
+def test_shard_striping_partitions_equally(ds_root):
+    """Per-host stripes are EQUAL-LENGTH (DistributedSampler-style wrap-around
+    padding), cover every file, and duplicate at most ceil overhead — unequal
+    stripes would desync per-host steps_per_epoch and hang SPMD collectives."""
     img_dir = os.path.join(ds_root, "train", "images")
     lbl_dir = os.path.join(ds_root, "train", "labels")
     full = YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
@@ -231,14 +233,22 @@ def test_shard_striping_partitions_exactly(ds_root):
     shards = [YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
                           augment=False, shard_index=i, shard_count=3)
               for i in range(3)]
-    union = sorted(sum((s.img_files for s in shards), []))
-    assert union == full.img_files                      # exact cover, no dupes
-    assert {len(s) for s in shards} <= {2, 3}           # 8 files over 3 stripes
+    # every host sees exactly ceil(8/3)=3 files
+    assert [len(s.img_files) for s in shards] == [3, 3, 3]
+    union = sorted(set(sum((s.img_files for s in shards), [])))
+    assert union == sorted(full.img_files)     # full cover
+    # exactly (3*3 - 8) = 1 wrap-around duplicate
+    assert len(sum((s.img_files for s in shards), [])) - len(union) == 1
     # label cache aligns with the stripe, not the full list
     for s in shards:
         assert len(s.labels_cache) == len(s.img_files)
     with pytest.raises(ValueError):
         YoloDataset(img_dir, lbl_dir, shard_index=3, shard_count=3)
+    # degenerate: fewer files than shards still yields equal stripes
+    tiny = [YoloDataset(img_dir, lbl_dir, img_size=96, is_train=True,
+                        augment=False, shard_index=i, shard_count=16)
+            for i in (0, 15)]
+    assert len(tiny[0].img_files) == len(tiny[1].img_files) == 1
 
 
 def test_lru_image_cache_budget_and_correctness(ds_root):

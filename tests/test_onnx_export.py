@@ -227,6 +227,54 @@ def test_export_onnx_decoded_parity(tiny_ckpt, tmp_path):
                                    rtol=1e-3, atol=1e-3, err_msg=k)
 
 
+def test_export_onnx_dynamic_batch(tiny_ckpt, tmp_path):
+    """One dynamic-batch artifact serves multiple batch sizes (reference
+    export_onnx.py:303-309 dynamic_axes parity): traced at batch 2, executed
+    at batch 1 and batch 3, each matching the jax graph at that batch."""
+    from yololite_tpu.deploy import onnx_proto as P
+    from yololite_tpu.deploy.export import export_onnx
+    from yololite_tpu.deploy.onnx_run import load_onnx
+
+    ckpt, img_size = tiny_ckpt
+    art = export_onnx(ckpt, out_dir=str(tmp_path), fmt="decoded",
+                      img_size=img_size, dynamic_batch=True)
+    # the batch dim is declared symbolic in the serialized file
+    with open(art, "rb") as f:
+        mp = P.parse_model(f.read())
+    in_dims = mp["graph"]["input"][0]["type"]["tensor_type"]["shape"]["dim"]
+    assert in_dims[0].get("dim_param") == "batch"
+    for vo in mp["graph"]["output"]:
+        od = vo["type"]["tensor_type"]["shape"]["dim"]
+        assert od[0].get("dim_param") == "batch", vo["name"]
+
+    g = load_onnx(art)
+    rng = np.random.RandomState(7)
+    for b in (1, 3):
+        images = (rng.rand(b, img_size, img_size, 3) * 255).astype(np.uint8)
+        outs = g(images)
+        names = g.summary()["outputs"]
+        out = dict(zip(names, outs))
+        ref = _jax_decoded(ckpt, images)
+        for k in ref:
+            assert out[k].shape[0] == b
+            np.testing.assert_allclose(np.asarray(out[k]), ref[k],
+                                       rtol=1e-3, atol=1e-3,
+                                       err_msg=f"{k} @batch={b}")
+
+
+def test_export_onnx_dynamic_batch_raw(tiny_ckpt, tmp_path):
+    """raw-format dynamic-batch export (conv trunk incl. SPPF pooling) runs
+    at a batch size other than the traced one."""
+    from yololite_tpu.deploy.export import export_onnx, load_exported
+
+    ckpt, img_size = tiny_ckpt
+    art = export_onnx(ckpt, out_dir=str(tmp_path), fmt="raw",
+                      img_size=img_size, dynamic_batch=True)
+    call, meta = load_exported(art)
+    out = call(np.zeros((3, img_size, img_size, 3), np.uint8))
+    assert all(o.shape[0] == 3 for o in out)
+
+
 def test_export_onnx_raw_and_nms_gate(tiny_ckpt, tmp_path):
     from yololite_tpu.deploy.export import export_onnx, load_exported
 

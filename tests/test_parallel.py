@@ -162,13 +162,10 @@ def test_dp_segmentation_train_step():
     assert "mask" in m  # mask loss reported
 
 
-@pytest.mark.slow
-def test_multihost_two_process_train_step():
-    """2-process jax.distributed over CPU: 8 global devices (2 hosts x 4),
-    one SPMD train step with per-host local batches; both processes must
-    print identical post-step parameter checksums (grads all-reduced over
-    the global mesh). Exercises parallel/mesh.py:init_distributed and the
-    multi-process shard_batch/replicate_tree paths end-to-end."""
+def _run_multihost(n_proc: int, devs_per_proc: int, timeout_s: int = 560):
+    """Launch n_proc jax.distributed workers over CPU (devs_per_proc virtual
+    devices each), assert identical post-step parameter checksums (grads
+    all-reduced over the global mesh) and a working local-eval path."""
     import socket
     import subprocess
     import sys
@@ -179,21 +176,22 @@ def test_multihost_two_process_train_step():
 
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [
         subprocess.Popen(
             [sys.executable, worker, "--coordinator", f"localhost:{port}",
-             "--num_processes", "2", "--process_id", str(i)],
+             "--num_processes", str(n_proc), "--process_id", str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
-        for i in range(2)
+        for i in range(n_proc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=560)
+            out, _ = p.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -206,7 +204,27 @@ def test_multihost_two_process_train_step():
         line = [l for l in out.splitlines() if l.startswith("MULTIHOST_OK")]
         assert line, f"no MULTIHOST_OK line:\n{out[-2000:]}"
         sums.append(line[0].split("checksum=")[1])
-    assert sums[0] == sums[1], f"param checksums diverged: {sums}"
+        assert any(l.startswith("MULTIHOST_EVAL_OK")
+                   for l in out.splitlines()), \
+            f"no MULTIHOST_EVAL_OK line:\n{out[-2000:]}"
+    assert len(set(sums)) == 1, f"param checksums diverged: {sums}"
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step():
+    """2 processes x 4 virtual CPU devices = 8 global devices: one SPMD train
+    step with per-host local batches + the local-eval validation path.
+    Exercises parallel/mesh.py:init_distributed, multi-process
+    shard_batch/replicate_tree, and Trainer.put_eval_batch end-to-end."""
+    _run_multihost(2, 4)
+
+
+@pytest.mark.slow
+def test_multihost_four_process_train_step():
+    """4 processes x 2 devices = the same 8-device global mesh with MORE
+    process boundaries: per-host stripes are thinner and the collective spans
+    4 host processes — the pod-scale topology the 2-process test can't see."""
+    _run_multihost(4, 2, timeout_s=580)
 
 
 def test_spatial_sharding_loss_matches_single_device():

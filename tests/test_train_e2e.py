@@ -267,3 +267,95 @@ def test_start_epoch_continues_schedule(toy_data, tmp_path):
     for ra, rc in zip(rows_a[2:], rows_c):
         np.testing.assert_allclose(float(ra["lr_g0"]), float(rc["lr_g0"]),
                                    rtol=1e-6)
+
+
+def test_chunked_driver_fault_injection_exact_trajectory(toy_data, tmp_path):
+    """Kill a chunked run abruptly mid-epoch (fault injection via
+    YOLOLITE_FAULT_CRASH_AFTER_EPOCH -> os._exit, no cleanup), let
+    tools/run_chunked_train.sh resume it, and assert the completed run's
+    post-resume trajectory EXACTLY matches an uninterrupted run — the chunked
+    driver's core promise (exact resume incl. optimizer/EMA + resume-stable
+    data order)."""
+    import csv
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # yaml configs for the CLI path (the driver invokes tools/train.py)
+    model_yaml = str(tmp_path / "model.yaml")
+    with open(model_yaml, "w") as f:
+        yaml.safe_dump({"model": {
+            "arch": "YOLOLiteMS_CPU",
+            "backbone": "mobilenetv4_conv_small_050", "fpn_channels": 48,
+            "width_multiple": 1.0, "depth_multiple": 0.5, "head_depth": 1,
+            "num_classes": 2, "num_anchors_per_level": 1}}, f)
+    train_yaml = str(tmp_path / "train.yaml")
+    with open(train_yaml, "w") as f:
+        yaml.safe_dump({
+            # run dirs under runs/train: the chunked driver resolves its run
+            # dir by grepping "saved to .../runs/train/<n>" from the log
+            "logging": {"log_dir": "runs/train"},
+            "training": {
+                "lr": 3e-3, "optimizer": "adamw", "weight_decay": 1e-4,
+                "scheduler": "cosine", "grad_clip": 1.0, "ema": True,
+                "ema_decay": 0.9, "amp": False, "augment": False,
+                "use_p6": False, "use_p2": False, "seed": 0,
+                "save_every": 100, "save_by": "AP50", "max_boxes": 20,
+                "num_workers": 0, "save_optimizer": True},
+            "loss": {"lambda_box": 6.5, "lambda_obj": 1.0, "lambda_cls": 1.5,
+                     "topk_limit": 10, "area_cells_min": 0.0,
+                     "area_cells_max": 256, "area_tol": 1.75,
+                     "assign_cls_weight": 1.0}}, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # share the suite's persistent compile cache with the subprocesses
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+    env.pop("YOLOLITE_FAULT_CRASH_AFTER_EPOCH", None)
+
+    def read_rows(run_dir):
+        with open(os.path.join(run_dir, "metrics.csv")) as f:
+            return list(csv.DictReader(f))
+
+    def latest_run():
+        return os.path.realpath(os.path.join(repo, "runs", "train", "latest"))
+
+    # A: uninterrupted 4-epoch run through the same CLI
+    out_a = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train.py"),
+         "--model", model_yaml, "--train", train_yaml, "--data", toy_data,
+         "--epochs", "4", "--batch_size", "8", "--img_size", "96"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
+    assert out_a.returncode == 0, out_a.stdout[-3000:] + out_a.stderr[-2000:]
+    rows_a = read_rows(latest_run())
+    assert [r["epoch"] for r in rows_a] == ["1", "2", "3", "4"]
+
+    # B: chunked driver with a crash injected 3 batches into epoch 3
+    env_b = dict(env)
+    env_b["YOLOLITE_FAULT_CRASH_AFTER_EPOCH"] = "2"
+    log_b = str(tmp_path / "chunked.log")
+    out_b = subprocess.run(
+        ["bash", os.path.join(repo, "tools", "run_chunked_train.sh"),
+         model_yaml, train_yaml, toy_data, "4", "8", "96", log_b, "3000"],
+        capture_output=True, text=True, timeout=2400, env=env_b, cwd=repo)
+    with open(log_b) as f:
+        log_text = f.read()
+    assert out_b.returncode == 0, log_text[-3000:]
+    # the injected crash actually happened and the driver resumed from it
+    assert "chunk from epoch 0" in log_text and "chunk from epoch 2" in log_text
+    done = [l for l in log_text.splitlines() if "run complete at epoch 4" in l]
+    assert done, log_text[-2000:]
+    run_b2 = done[0].split("(dir ")[1].rstrip(") =")
+    rows_b = read_rows(os.path.join(repo, run_b2))
+    assert [r["epoch"] for r in rows_b] == ["3", "4"]
+
+    # exact trajectory: post-resume epochs reproduce the uninterrupted run
+    for ra, rb in zip(rows_a[2:], rows_b):
+        for k in ("train_loss", "val_loss", "AP50", "lr_g0"):
+            np.testing.assert_allclose(
+                float(ra[k]), float(rb[k]), rtol=1e-5,
+                err_msg=f"epoch {ra['epoch']} {k}: straight {ra[k]} "
+                        f"vs chunked-resume {rb[k]}")

@@ -51,7 +51,6 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
     from yololite_tpu.deploy.fold_norm import (fold_normalization, folded_stem,
                                                raw_cast)
     from yololite_tpu.deploy.fuse_head import fuse_head_params
-    from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
     from yololite_tpu.deploy.s2d import (pack_s2d, rewrite_stem_to_s2d,
                                          s2d_stem)
     from yololite_tpu.ops.decode import decode_anchorfree
@@ -96,13 +95,11 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
     x_np = (rng.rand(batch, img, img, 3) * 255).astype(np.uint8)
     if s2d:
         x_np = pack_s2d(x_np)
-    # deploy path = AOT with XLA-preferred input layouts (deploy/layout.py)
-    from yololite_tpu.deploy.layout import checked_call
-    comp, fmts = compile_with_preferred_layouts(
-        infer, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
+    # deploy path = AOT pinned to the achieved input layouts (deploy/layout.py)
+    from yololite_tpu.deploy.layout import aot_compile_and_place, checked_call
+    comp, placed = aot_compile_and_place(infer, variables, x_np)
     if comp is not None:
-        variables = place(variables, fmts[0])
-        x = place(x_np, fmts[1])
+        variables, x = placed
         infer = checked_call(comp, infer)
     else:
         x = jnp.asarray(x_np)

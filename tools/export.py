@@ -33,6 +33,9 @@ def main():
                          "onnxruntime CPU deploy")
     ap.add_argument("--quantize", default=None, choices=[None, "dynamic", "fp16"],
                     help="tflite only: dynamic-range int8 weights or fp16")
+    ap.add_argument("--dynamic_batch", action="store_true",
+                    help="onnx only: symbolic batch axis (reference "
+                         "dynamic_axes parity) — one artifact, any batch")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -47,7 +50,8 @@ def main():
     elif args.runtime == "onnx":
         path = export_onnx(args.weights, out_dir=args.out_dir, fmt=args.format,
                            batch=args.batch, img_size=args.img_size,
-                           conf=args.conf, iou=args.iou, max_det=args.max_det)
+                           conf=args.conf, iou=args.iou, max_det=args.max_det,
+                           dynamic_batch=args.dynamic_batch)
     else:
         path = export_model(args.weights, out_dir=args.out_dir, fmt=args.format,
                             batch=args.batch, img_size=args.img_size,

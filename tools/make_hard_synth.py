@@ -200,26 +200,29 @@ def make_image(rng, base: int = 640, seg: bool = False):
         cls_id = int(rng.choice(len(CLASSES), p=probs))
         # log-uniform sizes, biased small: 10..120 px (at base 640)
         size = int(np.exp(rng.uniform(np.log(10), np.log(120))))
-        placed = _place(rng, img, boxes, size, cls_id,
-                        full_mask=(h, w) if seg else None)
+        placed = _place(rng, img, boxes, size, cls_id, full_mask=(h, w))
         if placed is None:
             continue
-        tight, fmask = placed if seg else (placed, None)
+        tight, fmask = placed
         boxes.append(tight)
         labels.append(cls_id)
+        inst_masks.append(fmask)
+    # ONE annotation policy for both modes: an instance whose visible area
+    # (own mask minus everything drawn later — draw order is paint order)
+    # falls under 25% is dropped from the labels in detect AND seg mode, so
+    # box-vs-seg comparisons on the same seed see the same instance set and
+    # detect labels never train on near-fully-occluded foreground. (Masks are
+    # computed in both modes now; they consume no RNG, so images for a given
+    # seed are bit-identical to the pre-policy-unification generator.)
+    polys = None if not seg else []
+    kboxes, klabels = [], []
+    for i, m in enumerate(inst_masks):
+        vis = m.copy()
+        for later in inst_masks[i + 1:]:
+            vis[later > 0] = 0
+        if vis.sum() < 0.25 * m.sum():
+            continue  # mostly occluded: drop instance entirely
         if seg:
-            inst_masks.append(fmask)
-    polys = None
-    if seg:
-        # visible region = own mask minus everything drawn later (draw order
-        # is paint order, so later instances occlude earlier ones)
-        polys, kboxes, klabels = [], [], []
-        for i, m in enumerate(inst_masks):
-            vis = m.copy()
-            for later in inst_masks[i + 1:]:
-                vis[later > 0] = 0
-            if vis.sum() < 0.25 * m.sum():
-                continue  # mostly occluded: drop instance entirely
             poly = _visible_polygon(vis)
             if poly is None:
                 continue
@@ -229,8 +232,10 @@ def make_image(rng, base: int = 640, seg: bool = False):
                 continue
             polys.append(poly)
             kboxes.append(np.array([x1, y1, x2 + 1, y2 + 1], np.float32))
-            klabels.append(labels[i])
-        boxes, labels = kboxes, klabels
+        else:
+            kboxes.append(boxes[i])
+        klabels.append(labels[i])
+    boxes, labels = kboxes, klabels
     # photometric nuisance
     img = img * rng.uniform(0.75, 1.25) + rng.uniform(-20, 20)
     img += rng.randn(h, w, 3) * rng.uniform(0, 8)

@@ -121,16 +121,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
+    from yololite_tpu.deploy.layout import aot_compile_and_place
 
     fn, variables = build_deploy_fn(args.model, args.img)
     rng = np.random.RandomState(0)
     x_np = (rng.rand(args.batch, args.img, args.img, 3) * 255).astype(np.uint8)
-    comp, fmts = compile_with_preferred_layouts(
-        fn, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
+    comp, placed = aot_compile_and_place(fn, variables, x_np)
     if comp is not None:
-        variables = place(variables, fmts[0])
-        x = place(x_np, fmts[1])
+        variables, x = placed
     else:
         import jax.numpy as jnp
         comp = jax.jit(fn)

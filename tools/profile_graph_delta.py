@@ -51,7 +51,7 @@ def main():
     import jax.numpy as jnp
     from yololite_tpu.deploy.fold_norm import fold_normalization, raw_cast
     from yololite_tpu.deploy.fuse_head import fuse_head_params
-    from yololite_tpu.deploy.layout import compile_with_preferred_layouts, place
+    from yololite_tpu.deploy.layout import aot_compile_and_place
     from yololite_tpu.deploy.s2d import pack_s2d, rewrite_stem_to_s2d, s2d_stem
     from yololite_tpu.models.detector import build_model_from_config, init_model
     from yololite_tpu.ops.decode import decode_anchorfree
@@ -96,11 +96,9 @@ def main():
     for name, fn in (("forward_only", forward_only),
                      ("fwd+decode+scores", fwd_decode),
                      ("full (shipped deploy graph)", full)):
-        comp, fmts = compile_with_preferred_layouts(
-            fn, variables, jax.ShapeDtypeStruct(x_np.shape, np.uint8))
+        comp, placed = aot_compile_and_place(fn, variables, x_np)
         if comp is not None:
-            v = place(variables, fmts[0])
-            x = place(x_np, fmts[1])
+            v, x = placed
             results[name] = bench(comp, v, x)
         else:
             results[name] = bench(jax.jit(fn), variables, jnp.asarray(x_np))

@@ -12,6 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS even on images that force-prepend an experimental TPU
+# platform (the env var alone loses to the forced platform there; tests and
+# the chunked driver rely on JAX_PLATFORMS=cpu actually meaning cpu)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from yololite_tpu.config import apply_overrides, build_argparser, load_configs
 from yololite_tpu.train.loop import train_from_config
 

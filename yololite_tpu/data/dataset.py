@@ -163,7 +163,18 @@ class YoloDataset:
         self.shard_index = int(shard_index)
         self.shard_count = int(shard_count)
         if self.shard_count > 1:
-            self.img_files = self.img_files[self.shard_index::self.shard_count]
+            # Equalize per-host work (torch DistributedSampler-style): pad the
+            # global list with wrap-around duplicates to a multiple of
+            # shard_count BEFORE striping, so every host sees exactly
+            # ceil(n/shard_count) files. Unequal stripes would make per-host
+            # steps_per_epoch diverge and one host dispatch an SPMD collective
+            # the others never join (pod hang) whenever a stripe boundary
+            # crosses a batch-size multiple.
+            total = len(self.img_files)
+            pad = (-total) % self.shard_count
+            reps = -(-pad // total)  # handles total < shard_count
+            padded = self.img_files + (self.img_files * reps)[:pad]
+            self.img_files = padded[self.shard_index::self.shard_count]
             if len(self.img_files) == 0:
                 raise ValueError(
                     f"Shard {shard_index}/{shard_count} of {img_dir} is empty")

@@ -287,7 +287,8 @@ def load_tflite(art_path: str):
 def export_onnx(weights: str, out_dir: Optional[str] = None,
                 fmt: str = "decoded", batch: int = 1,
                 img_size: Optional[int] = None, conf: float = 0.001,
-                iou: float = 0.65, max_det: int = 300) -> str:
+                iou: float = 0.65, max_det: int = 300,
+                dynamic_batch: bool = False) -> str:
     """ONNX export (reference export/export_onnx.py:179-332 parity).
 
     First-party route: the jitted deploy function's jaxpr is compiled directly
@@ -297,6 +298,11 @@ def export_onnx(weights: str, out_dir: Optional[str] = None,
     formats with NMS on the host (tools/infer_onnx.py:143-233); the in-graph
     "nms" format remains StableHLO/TFLite-only. Run the artifact with
     onnxruntime, or anywhere with `deploy/onnx_run.py` (numpy executor).
+
+    dynamic_batch=True declares the batch axis symbolic (reference
+    export_onnx.py:303-309 `dynamic_axes` parity): one artifact serves any
+    batch size. The graph is traced at max(batch, 2) — a symbolic batch
+    can't be inferred from a batch-1 trace.
     """
     if fmt == "nms":
         raise ValueError(
@@ -312,8 +318,13 @@ def export_onnx(weights: str, out_dir: Optional[str] = None,
                  "batch_stats": jax.tree.map(jnp.asarray, sd["batch_stats"])}
 
     fn = _build_fn(model, img_size, fmt, conf, iou, max_det)
-    images_spec = jax.ShapeDtypeStruct((batch, img_size, img_size, 3),
-                                       jnp.uint8)
+    # dynamic batch needs a trace batch that collides with no static dim in
+    # the graph (a non-leading dim equal to the traced batch is ambiguous);
+    # the emitter raises on collision and we retry with the next prime.
+    trace_batches = ([max(int(batch), 2), 3, 5, 7, 11, 13]
+                     if dynamic_batch else [int(batch)])
+    images_spec = jax.ShapeDtypeStruct((trace_batches[0], img_size,
+                                        img_size, 3), jnp.uint8)
     with_masks = bool(getattr(model, "with_masks", False))
     if fmt == "raw":
         n_outs = len(jax.eval_shape(lambda im: fn(variables, im),
@@ -332,12 +343,23 @@ def export_onnx(weights: str, out_dir: Optional[str] = None,
     os.makedirs(out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(weights))[0]
     onnx_path = os.path.join(out_dir, f"{stem}_{fmt}.onnx")
-    export_fn_to_onnx(lambda im: fn(variables, im), (images_spec,), onnx_path,
-                      input_names=["images"], output_names=out_names,
-                      model_name=f"{meta.get('model_name', stem)}_{fmt}",
-                      doc=f"YoloLite-TPU {fmt} deploy graph @{img_size}px")
+    for i, tb in enumerate(trace_batches):
+        spec = jax.ShapeDtypeStruct((tb, img_size, img_size, 3), jnp.uint8)
+        try:
+            export_fn_to_onnx(lambda im: fn(variables, im), (spec,), onnx_path,
+                              input_names=["images"], output_names=out_names,
+                              model_name=f"{meta.get('model_name', stem)}_{fmt}",
+                              doc=f"YoloLite-TPU {fmt} deploy graph "
+                                  f"@{img_size}px",
+                              dynamic_batch=dynamic_batch)
+            break
+        except NotImplementedError as e:
+            if (not dynamic_batch or "batch-sized dim" not in str(e)
+                    or i == len(trace_batches) - 1):
+                raise
     with open(onnx_path + ".json", "w") as f:
-        json.dump({"format": fmt, "img_size": img_size, "batch": batch,
+        json.dump({"format": fmt, "img_size": img_size,
+                   "batch": "dynamic" if dynamic_batch else batch,
                    "conf": conf, "iou": iou, "max_det": max_det,
                    "names": meta.get("names"),
                    "num_classes": meta.get("num_classes"),

@@ -55,6 +55,59 @@ def place(tree, formats):
     return jax.tree.map(lambda a, f: jax.device_put(a, f), tree, formats)
 
 
+def aot_compile_and_place(fn, *concrete_args):
+    """AOT-compile with XLA-preferred input layouts AND return args placed to
+    match what the executable actually accepts.
+
+    Two-step dance, needed because `device_put(a, Format(...))` on the
+    tunneled TPU backend silently IGNORES the requested layout for some
+    arrays (observed r4: 1x1 conv kernels asked for transposed 96x96 tiles,
+    got default — 17/284 args), after which the AUTO-layout executable
+    rejects its own placement at call time:
+      1. compile with AUTO input layouts, `place` the args into the preferred
+         formats (best effort — most leaves land where XLA wants them);
+      2. read back the layouts that actually materialized and, if any
+         differ, re-compile pinned to THOSE — XLA then re-layouts only the
+         handful of divergent arrays inside the program, keeping the
+         relayout-copy saving for everything else.
+
+    Returns (compiled, placed_args) or (None, None) when the layout API is
+    unavailable (callers fall back to plain jit).
+
+    Disabled on the tunneled `axon` dev backend: there, ANY executable
+    compiled with explicit input Formats — preferred, achieved, or even the
+    default layouts — fails at execution with `TPU backend error
+    (InvalidArgument)` (r4 bisect, /tmp/layout_probe3: all four pinning
+    variants failed while plain jit runs fine). Set YOLOLITE_AOT_LAYOUT=1 to
+    force the path on (e.g. on a directly-attached TPU where the ~6-10%
+    relayout saving is real and was measured in r2).
+    """
+    import os
+    try:
+        if not os.environ.get("YOLOLITE_AOT_LAYOUT"):
+            import jax.extend
+            pv = getattr(jax.extend.backend.get_backend(),
+                         "platform_version", "")
+            if "axon" in pv:
+                return None, None
+        from jax.experimental.layout import Format, Layout  # noqa: F401
+        compiled, fmts = compile_with_preferred_layouts(
+            fn, *(jax.tree.map(_spec, a) for a in concrete_args))
+        if compiled is None:
+            return None, None
+        placed = tuple(place(a, f) for a, f in zip(concrete_args, fmts))
+        actual = tuple(jax.tree.map(lambda x: x.format, p) for p in placed)
+        none_leaf = lambda x: x is None  # noqa: E731 — align if any fmt=None
+        flat_want = jax.tree_util.tree_leaves(fmts, is_leaf=none_leaf)
+        flat_got = jax.tree_util.tree_leaves(actual, is_leaf=none_leaf)
+        if any(w != g for w, g in zip(flat_want, flat_got)):
+            specs = tuple(jax.tree.map(_spec, a) for a in concrete_args)
+            compiled = jax.jit(fn, in_shardings=actual).lower(*specs).compile()
+        return compiled, placed
+    except Exception:
+        return None, None
+
+
 def checked_call(compiled, fn):
     """Wrap an AOT executable with a permanent plain-jit fallback.
 
@@ -68,13 +121,45 @@ def checked_call(compiled, fn):
     """
     state = {}
 
+    def _default_layout(tree):
+        """Re-place custom-Format arrays into the backend's default layout.
+        The caller's operands were `place`d into the (rejected) preferred
+        formats; feeding those buffers to jax.jit on the tunneled backend
+        fails at execution with `TPU backend error (InvalidArgument)`
+        (observed r3/r4 — this, not the tunnel, was behind the stale
+        BENCH_r03), so the fallback must normalize layouts first."""
+        return jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a))
+            if isinstance(a, jax.Array) else a, tree)
+
+    def _x_default(x):
+        # single-slot cache: steady-state callers (bench loops) pass the same
+        # placed batch every call — convert it once, not per call (through a
+        # tunneled backend a per-call host roundtrip would dwarf the step).
+        c = state.get("xc")
+        if c is None or c[0] is not x:
+            state["xc"] = (x, _default_layout(x))
+        return state["xc"][1]
+
     def call(variables, x):
         if "fb" in state:
-            return state["fb"](variables, x)
+            return state["fb"](state["vars"], _x_default(x))
         try:
             return compiled(variables, x)
-        except ValueError:
+        except ValueError as e:
+            # Only the known layout-disagreement failure engages the
+            # fallback; any other ValueError (bad caller input, API changes)
+            # must surface, not silently turn into a recompile.
+            if "layout" not in str(e).lower():
+                raise
+            import warnings
+            warnings.warn(
+                "AOT executable rejected its own preferred input layouts "
+                f"({str(e)[:120]}...); falling back to jax.jit for this "
+                "graph — the ~6% relayout saving is lost.", RuntimeWarning)
             state["fb"] = jax.jit(fn)
-            return state["fb"](variables, x)
+            # weights are reused across calls: normalize them once and cache
+            state["vars"] = _default_layout(variables)
+            return state["fb"](state["vars"], _x_default(x))
 
     return call

@@ -62,8 +62,14 @@ def _np_const(v) -> np.ndarray:
 
 
 class _Emitter:
-    def __init__(self, opset: int):
+    def __init__(self, opset: int, dyn_batch: Optional[int] = None):
         self.opset = opset
+        # dynamic-batch export: the traced leading batch extent. Shape-baking
+        # ops rewrite a leading dim equal to this into batch-polymorphic form
+        # (Reshape 0/-1, Expand 1, Slice huge-end) so one artifact serves any
+        # batch size — reference parity with torch.onnx dynamic_axes
+        # (export/export_onnx.py:303-309).
+        self.dyn_batch = dyn_batch
         self.nodes: List[dict] = []
         self.initializers: Dict[str, np.ndarray] = {}
         self.value_infos: List[dict] = []
@@ -124,7 +130,34 @@ class _Emitter:
         shape = tuple(var.aval.shape)
         dtype = _onnx_dtype(var.aval.dtype)
         self.env[var] = ("t", name, shape, dtype)
-        self.value_infos.append(P.value_info(name, dtype, shape))
+        # dynamic batch: intermediate static-shape hints would be wrong for
+        # other batch sizes (and batch-derived dims like B*C can't be named);
+        # value_info is optional, so omit it and let runtimes infer.
+        if self.dyn_batch is None:
+            self.value_infos.append(P.value_info(name, dtype, shape))
+
+    # -- dynamic-batch helpers -------------------------------------------
+    def dyn_reshape_target(self, in_shape, out_shape, ctx: str):
+        """Batch-polymorphic Reshape target. Leading dim == traced batch on
+        both sides -> 0 (copy); a leading batch-multiple (pool collapse)
+        -> -1; batch appearing elsewhere is unsupported."""
+        tgt = [int(d) for d in out_shape]
+        B = self.dyn_batch
+        if B is None:
+            return tgt
+        if B in tgt[1:]:
+            # conservative: a non-leading dim numerically equal to the traced
+            # batch — can't tell static coincidence from a moved batch axis
+            raise NotImplementedError(
+                f"dynamic-batch onnx export: batch-sized dim in a non-leading "
+                f"position of a {ctx} reshape (in={tuple(in_shape)}, "
+                f"out={tuple(out_shape)}, traced batch={B}); trace with an "
+                f"example batch that differs from every static dim")
+        if tgt and tgt[0] == B:
+            tgt[0] = 0 if (in_shape and int(in_shape[0]) == B) else -1
+        elif tgt and tgt[0] % B == 0 and in_shape and int(in_shape[0]) % B == 0:
+            tgt[0] = -1  # batch-derived leading dim (e.g. B*C pool collapse)
+        return tgt
 
     def shape_of(self, v) -> Tuple[int, ...]:
         e = self.read(v)
@@ -241,8 +274,9 @@ def _emit_eqn(em: _Emitter, eqn) -> None:
     elif prim in ("reshape", "squeeze", "expand_dims"):
         if prim == "reshape" and params.get("dimensions") is not None:
             raise NotImplementedError("onnx export: reshape with dimensions")
-        shape = em.i64(out_var.aval.shape, "shape")
-        emit("Reshape", [ins[0], shape])
+        tgt = em.dyn_reshape_target(em.shape_of(eqn.invars[0]),
+                                    out_var.aval.shape, prim)
+        emit("Reshape", [ins[0], em.i64(tgt, "shape")])
     elif prim == "transpose":
         emit("Transpose", ins, perm=[int(d) for d in params["permutation"]])
     elif prim == "broadcast_in_dim":
@@ -254,8 +288,21 @@ def _emit_eqn(em: _Emitter, eqn) -> None:
             interim[d] = int(in_shape[i])
         cur = ins[0]
         if list(in_shape) != interim:
-            (cur,) = em.node("Reshape", [cur, em.i64(interim, "shape")])
+            rtgt = em.dyn_reshape_target(in_shape, interim, "broadcast")
+            (cur,) = em.node("Reshape", [cur, em.i64(rtgt, "shape")])
         if interim != tgt:
+            if em.dyn_batch is not None:
+                # Expand = mutual broadcast: a 1 in the given shape keeps the
+                # input's extent, so replacing a leading batch-sized target
+                # with 1 is batch-polymorphic whether the batch extent comes
+                # from the input (kept) or from downstream broadcasting
+                # (a [1,...] operand broadcasts against [N,...] later).
+                if em.dyn_batch in tgt[1:]:
+                    raise NotImplementedError(
+                        "dynamic-batch onnx export: batch-sized dim in a "
+                        f"non-leading broadcast target {tuple(tgt)}")
+                if tgt and tgt[0] == em.dyn_batch:
+                    tgt = [1] + tgt[1:]
             (cur,) = em.node("Expand", [cur, em.i64(tgt, "shape")])
         if list(in_shape) == interim and interim == tgt:
             (cur,) = em.node("Identity", [cur])
@@ -269,6 +316,13 @@ def _emit_eqn(em: _Emitter, eqn) -> None:
             steps = [int(s) for s in params["strides"]]
         starts = [int(s) for s in params["start_indices"]]
         ends = [int(s) for s in params["limit_indices"]]
+        if em.dyn_batch is not None:
+            in_shape = em.shape_of(eqn.invars[0])
+            if in_shape and int(in_shape[0]) == em.dyn_batch:
+                if starts[0] != 0 or ends[0] != int(in_shape[0]) or steps[0] != 1:
+                    raise NotImplementedError(
+                        "dynamic-batch onnx export: slicing the batch axis")
+                ends[0] = 2 ** 62  # full-axis: ONNX clamps oversized ends
         axes = list(range(len(starts)))
         emit("Slice", [ins[0], em.i64(starts, "starts"), em.i64(ends, "ends"),
                        em.i64(axes, "axes"), em.i64(steps, "steps")])
@@ -421,7 +475,11 @@ def _emit_pool(em: _Emitter, eqn, ins, kind: str):
     # collapse batch dims to [N, 1, H, W] for ONNX's 4-D pooling
     nbatch = int(np.prod([in_shape[i] for i in batchish], initial=1))
     hw = [int(in_shape[sp[0]]), int(in_shape[sp[1]])]
-    (x,) = em.node("Reshape", [x, em.i64([nbatch, 1] + hw, "shape")])
+    collapse = [nbatch, 1] + hw
+    if em.dyn_batch is not None and 0 in batchish \
+            and int(in_shape[0]) == em.dyn_batch:
+        collapse[0] = -1  # batch-derived leading dim (B * other batchish)
+    (x,) = em.node("Reshape", [x, em.i64(collapse, "shape")])
     kattrs = dict(
         kernel_shape=[wd[sp[0]], wd[sp[1]]],
         strides=[ws[sp[0]], ws[sp[1]]],
@@ -436,6 +494,12 @@ def _emit_pool(em: _Emitter, eqn, ins, kind: str):
         (y,) = em.node("Mul", [y, scale])
     # back to batch dims + pooled dims, then invert the transpose
     permuted_out = [int(out_shape[i]) for i in perm]
+    if em.dyn_batch is not None and perm[0] == 0 \
+            and permuted_out[0] == em.dyn_batch:
+        if em.dyn_batch in permuted_out[1:]:
+            raise NotImplementedError(
+                "dynamic-batch onnx export: batch-sized non-leading pool dim")
+        permuted_out[0] = -1
     (y,) = em.node("Reshape", [y, em.i64(permuted_out, "shape")])
     inv = _inv_perm(perm)
     if inv != list(range(r)):
@@ -547,29 +611,58 @@ def export_fn_to_onnx(fn, example_args, out_path: str, *,
                       input_names: Optional[Sequence[str]] = None,
                       output_names: Optional[Sequence[str]] = None,
                       model_name: str = "yololite_tpu",
-                      doc: str = "", opset: int = 17) -> str:
+                      doc: str = "", opset: int = 17,
+                      dynamic_batch: bool = False,
+                      batch_dim_name: str = "batch") -> str:
     """Trace `fn(*example_args)` and compile its jaxpr to an ONNX file.
 
     Closed-over arrays (model weights) become graph initializers; positional
     args become graph inputs. Returns `out_path`.
+
+    dynamic_batch=True emits a batch-polymorphic graph: every graph
+    input/output whose leading dim equals the traced batch gets a symbolic
+    `dim_param` and all shape-baking ops (Reshape/Expand/Slice/pool
+    collapses) are rewritten to batch-polymorphic forms — reference parity
+    with torch.onnx `dynamic_axes` (export/export_onnx.py:303-309). The
+    example batch must be >= 2 and should differ from every static model dim
+    (channels, classes) so batch extents are unambiguous in traced shapes;
+    exports are verified by running the artifact at a different batch size.
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*example_args)
     jaxpr = closed.jaxpr
 
-    em = _Emitter(opset)
+    dyn_b = None
+    if dynamic_batch:
+        lead = [int(v.aval.shape[0]) for v in jaxpr.invars
+                if len(v.aval.shape) > 0]
+        if not lead or len(set(lead)) != 1:
+            raise ValueError("dynamic_batch: graph inputs disagree on the "
+                             f"leading (batch) dim: {lead}")
+        dyn_b = lead[0]
+        if dyn_b < 2:
+            raise ValueError("dynamic_batch: trace with example batch >= 2 "
+                             "(batch 1 is indistinguishable from broadcast "
+                             "dims in traced shapes)")
+
+    em = _Emitter(opset, dyn_batch=dyn_b)
     flat_args, _ = jax.tree.flatten(example_args)
     if input_names is None:
         input_names = [f"input_{i}" for i in range(len(flat_args))]
     assert len(input_names) == len(jaxpr.invars), (
         f"{len(input_names)} names for {len(jaxpr.invars)} graph inputs")
 
+    def _io_shape(shape):
+        if dyn_b is not None and len(shape) > 0 and int(shape[0]) == dyn_b:
+            return (batch_dim_name,) + tuple(int(d) for d in shape[1:])
+        return tuple(int(d) for d in shape)
+
     graph_inputs = []
     for name, var in zip(input_names, jaxpr.invars):
         dtype = _onnx_dtype(var.aval.dtype)
         em.env[var] = ("t", name, tuple(var.aval.shape), dtype)
-        graph_inputs.append(P.value_info(name, dtype, var.aval.shape))
+        graph_inputs.append(P.value_info(name, dtype, _io_shape(var.aval.shape)))
     for cv, cval in zip(jaxpr.constvars, closed.consts):
         em.env[cv] = ("c", _np_const(cval))
 
@@ -596,7 +689,8 @@ def export_fn_to_onnx(fn, example_args, out_path: str, *,
                          "output": [name], "name": f"out_{name}",
                          "attribute": []})
         dtype = _onnx_dtype(var.aval.dtype)
-        graph_outputs.append(P.value_info(name, dtype, var.aval.shape))
+        graph_outputs.append(P.value_info(name, dtype,
+                                          _io_shape(var.aval.shape)))
 
     graph = {
         "name": model_name,

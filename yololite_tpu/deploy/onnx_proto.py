@@ -329,7 +329,9 @@ def value_info(name: str, dtype: np.dtype, shape) -> Dict[str, Any]:
         "name": name,
         "type": {"tensor_type": {
             "elem_type": DTYPE_TO_ONNX[np.dtype(dtype)],
-            "shape": {"dim": [{"dim_value": int(d)} for d in shape]},
+            # str dims become symbolic dim_param entries (dynamic batch)
+            "shape": {"dim": [{"dim_param": d} if isinstance(d, str)
+                              else {"dim_value": int(d)} for d in shape]},
         }},
     }
 

@@ -233,11 +233,18 @@ class OnnxGraph:
             e = np.exp(x - x.max(axis=ax, keepdims=True))
             out(e / e.sum(axis=ax, keepdims=True))
         elif op == "Reshape":
-            out(x.reshape([int(d) for d in ins[1]]))
+            # full ONNX semantics: 0 copies the input dim (allowzero=0
+            # default), -1 infers — both appear in dynamic-batch exports
+            tgt = [int(d) for d in ins[1]]
+            tgt = [x.shape[i] if d == 0 else d for i, d in enumerate(tgt)]
+            out(x.reshape(tgt))
         elif op == "Transpose":
             out(np.transpose(x, at.get("perm")))
         elif op == "Expand":
-            out(np.broadcast_to(x, [int(d) for d in ins[1]]).copy())
+            # ONNX Expand = mutual broadcast (dims of 1 in the given shape
+            # keep the input's extent), not one-sided broadcast_to
+            shape = np.broadcast_shapes(x.shape, tuple(int(d) for d in ins[1]))
+            out(np.broadcast_to(x, shape).copy())
         elif op == "Concat":
             out(np.concatenate(ins, axis=at["axis"]))
         elif op == "Slice":

@@ -31,9 +31,16 @@ from yololite_tpu.train.steps import normalize_images
 
 
 class Predictor:
+    # Below this confidence the candidate pool is dense enough that greedy
+    # suppression chains can exceed the unrolled fixpoint depth; fall back to
+    # the exact while_loop NMS (fixpoint_unroll=0) so sweep-style calls
+    # (conf=0.001 for PR curves) never silently diverge from exact greedy.
+    _UNROLL_CONF_FLOOR = 0.05
+
     def __init__(self, weights: str, use_letterbox: bool = True,
                  dtype=jnp.bfloat16, quantize: Optional[str] = None,
-                 fold_normalize: bool = True, s2d_stem: bool = False):
+                 fold_normalize: bool = True, s2d_stem: bool = False,
+                 fixpoint_unroll: int = 8):
         """quantize="int8": run every conv in the dynamic-int8 path
         (ops/quant.py) — validate accuracy with tools/evaluate.py first.
         fold_normalize=True (default): fold the ImageNet input normalization
@@ -42,7 +49,11 @@ class Predictor:
         s2d_stem=True: additionally rewrite the 3x3/s2 stem conv over a
         host-packed space-to-depth input (deploy/s2d.py) — +8% device
         throughput at ~2 ms/img/core host packing cost; enable on serving
-        hosts with spare CPU cores."""
+        hosts with spare CPU cores.
+        fixpoint_unroll: NMS fixpoint iterations unrolled in the deploy graph
+        (8 covers serving-range conf; +5% over the while_loop). Calls with
+        conf < 0.05 automatically use the exact while_loop instead — deep
+        suppression chains at sweep thresholds can exceed a fixed unroll."""
         sd, meta = load_checkpoint(weights)
         self.meta = meta
         self.model = model_from_meta(meta, dtype=dtype)
@@ -83,12 +94,15 @@ class Predictor:
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
+        self.fixpoint_unroll = int(fixpoint_unroll)
         self._compiled: Dict[tuple, callable] = {}
         self._aot: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------ #
     def _make_fn(self, img_size: int, conf: float, iou: float, max_det: int):
         """Raw (unjitted) deploy-graph function for this parameter set."""
+        # exact while_loop NMS below the documented conf floor (see __init__)
+        unroll = self.fixpoint_unroll if conf >= self._UNROLL_CONF_FLOOR else 0
         key = (img_size, conf, iou, max_det)
         if key not in self._compiled:
             model = self.model
@@ -129,7 +143,7 @@ class Predictor:
                 b, s_, c_, v_, idx = batched_nms(
                     d["box"].astype(jnp.float32), scores, classes,
                     iou_th=iou, conf_th=conf, max_det=max_det, pre_nms_topk=512,
-                    fixpoint_unroll=8)
+                    fixpoint_unroll=unroll)
                 if with_masks:
                     from yololite_tpu.ops.masks import assemble_masks_batch
                     coef = jnp.take_along_axis(d["coef"].astype(jnp.float32),
@@ -156,18 +170,21 @@ class Predictor:
         skey = (img_size, conf, iou, max_det, batch_np.shape[0])
         entry = self._aot.get(skey)
         if entry is None:
-            from yololite_tpu.deploy.layout import (
-                checked_call, compile_with_preferred_layouts, place)
+            from yololite_tpu.deploy.layout import (aot_compile_and_place,
+                                                    checked_call)
             fn = self._make_fn(img_size, conf, iou, max_det)
-            compiled, fmts = compile_with_preferred_layouts(
-                fn, self.variables,
-                jax.ShapeDtypeStruct(batch_np.shape, np.uint8))
+            # pinned to the layouts device_put actually produces (the tunnel
+            # backend ignores some requested layouts — deploy/layout.py)
+            compiled, placed = aot_compile_and_place(fn, self.variables,
+                                                     batch_np)
             if compiled is not None:
-                entry = (checked_call(compiled, fn),
-                         place(self.variables, fmts[0]), fmts[1])
+                entry = (checked_call(compiled, fn), placed[0],
+                         placed[1].format)
             else:
                 entry = (jax.jit(fn), self.variables, None)
             self._aot[skey] = entry
+            if compiled is not None:  # first batch already placed
+                return entry[0](entry[1], placed[1])
         call, variables, img_fmt = entry
         x = (jax.device_put(batch_np, img_fmt) if img_fmt is not None
              else jnp.asarray(batch_np))

@@ -100,6 +100,11 @@ def _multiprocess(mesh: Mesh) -> bool:
     return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
+def is_multiprocess(mesh: Optional[Mesh]) -> bool:
+    """Public: does this mesh span multiple JAX processes (a pod)?"""
+    return mesh is not None and _multiprocess(mesh)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh]) -> Dict[str, Any]:
     """Put a host batch onto the mesh, batch-dim sharded over 'data'.
     Scalar entries (e.g. nvalid) are replicated.

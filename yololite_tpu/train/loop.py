@@ -265,7 +265,21 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     start_epoch = int(tr.get("start_epoch", 0) or 0)
     global_step = start_epoch * steps_per_epoch
     scheduler.fast_forward(start_epoch)
+    # resume-stable data order: the loader keys its shuffle AND the host-aug
+    # RNG by (seed + epoch), so a resumed chunk must start counting at the
+    # global epoch, not 0 — otherwise epoch N after resume replays epoch 0's
+    # order and the chunked trajectory diverges from an uninterrupted run.
+    train_loader.epoch = start_epoch
+    for _ in range(start_epoch):
+        if multi_scale:  # burn the per-epoch size draws of skipped epochs
+            ms_rng.randint(len(multi_scale))
     mosaic_tapered = False
+
+    # fault injection (tests): simulate an abrupt kill (no cleanup, no
+    # checkpoint flush) a few batches into epoch N+1, only in the process
+    # that trained epoch N itself — the resumed chunk must not re-crash.
+    _crash_after = int(os.environ.get("YOLOLITE_FAULT_CRASH_AFTER_EPOCH",
+                                      0) or 0)
 
     for epoch in range(start_epoch, epochs):
         # ---- augmentation taper (train.py:326-331) ----
@@ -307,6 +321,9 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             _free_device_batch(device_batch)
             nb += 1
             global_step += 1
+            if (_crash_after and epoch == _crash_after
+                    and start_epoch < _crash_after and nb == 1):
+                os._exit(23)  # fault injection: abrupt mid-epoch death
             if profiling and nb == 7:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -323,6 +340,9 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                    or (epoch + 1) == epochs or not use_augment)
         variables = trainer.ema_variables(state)
         if do_eval:
+            # multi-host: eval runs per-process on local devices with local
+            # copies of the (replicated) EMA variables — see put_eval_batch.
+            eval_vars = trainer.local_eval_variables(variables)
             coco_images, coco_anns, coco_dets = [], [], []
             ann_id, img_id = 1, 1
             v_running = 0.0
@@ -330,8 +350,8 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
             dbg_batch = random.randrange(max(1, len(val_loader)))
             for bi, batch in enumerate(val_loader):
                 nvalid = int(batch.get("nvalid", len(batch["image"])))
-                device_batch = trainer.put_batch(batch)
-                vmetrics, dets = trainer.eval_step(variables, device_batch,
+                device_batch = trainer.put_eval_batch(batch)
+                vmetrics, dets = trainer.eval_step(eval_vars, device_batch,
                                                    conf_th=0.1, iou_th=0.65)
                 v_running += float(vmetrics["total"]) / max(1, nvalid)
                 dets = {k: np.asarray(v) for k, v in dets.items()}

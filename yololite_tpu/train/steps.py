@@ -150,13 +150,45 @@ class Trainer:
                             lr * self.hyper["head_mult"]], jnp.float32)
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        return shard_batch(self._keep_keys(batch), self.mesh)
+
+    @staticmethod
+    def _keep_keys(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         keys = ["image", "boxes", "labels", "mask"]
         if "masks" in batch:  # instance-segmentation GT masks [B,M,Hp,Wp]
             keys.append("masks")
         keep = {k: batch[k] for k in keys}
         if "image_id" in batch:  # padding images (id -1) are masked out of
             keep["img_valid"] = np.asarray(batch["image_id"]) >= 0  # val loss
-        return shard_batch(keep, self.mesh)
+        return keep
+
+    def put_eval_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Validation placement. Multi-host pods bypass the mesh: every
+        process evaluates the FULL val set, so pushing each host's identical
+        batch through shard_batch would assemble a global array of n_proc
+        duplicated copies whose batch-sharded outputs span non-addressable
+        devices (np.asarray on the detections would raise). Locally-placed
+        batches keep eval per-host and addressable; single-host runs keep
+        the mesh (batch sharded over 'data' as before)."""
+        from yololite_tpu.parallel.mesh import is_multiprocess
+        if is_multiprocess(self.mesh):
+            return {k: jax.device_put(np.asarray(v))
+                    for k, v in self._keep_keys(batch).items()}
+        return self.put_batch(batch)
+
+    def local_eval_variables(self, variables):
+        """Companion to put_eval_batch: pull mesh-replicated variables onto
+        the process-local default device (a replicated jax.Array's shard 0
+        is the full value) so the local eval jit doesn't mix global-mesh and
+        local-device operands. No-op on single-host runs."""
+        from yololite_tpu.parallel.mesh import is_multiprocess
+        if not is_multiprocess(self.mesh):
+            return variables
+        def pull(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jax.device_put(np.asarray(x.addressable_data(0)))
+            return x
+        return jax.tree.map(pull, variables)
 
     def _forward_train(self, params, batch_stats, x):
         """Returns (outs, protos_or_None, mutated batch_stats)."""
