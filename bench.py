@@ -178,6 +178,12 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
         "p50_ms_per_img": round(p50_ms, 4),
+        # BASELINE.json also names single-frame p50. In this environment a
+        # single-frame dispatch measures the dev tunnel's ~270 ms per-call
+        # RTT, not the model (BENCHMARK_TPU.md "Note on single-image
+        # latency"), so p50_ms_per_img above is the batched steady-state
+        # per-image time and this flag records the limitation structurally.
+        "p50_env_bound": True,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
