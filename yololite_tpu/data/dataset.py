@@ -147,7 +147,8 @@ class YoloDataset:
                  task: str = "detect", proto_down: int = 4,
                  cache_images: bool = False, photometric: bool = True,
                  aug_preset: str = "base", shard_index: int = 0,
-                 shard_count: int = 1, cache_budget_mb: Optional[float] = None):
+                 shard_count: int = 1, cache_budget_mb: Optional[float] = None,
+                 want_rles: bool = True):
         self.img_dir = Path(img_dir)
         self.label_dir = Path(label_dir)
         self.img_files = list_images(str(img_dir))
@@ -197,6 +198,12 @@ class YoloDataset:
         self.seed = seed
         self.task = task
         self.proto_size = int(img_size) // int(proto_down)
+        # full-resolution GT mask RLEs are consumed ONLY by segm COCO eval
+        # (eval/evaluate.py). Rasterizing them costs one img_size^2 fillPoly +
+        # RLE encode PER INSTANCE per sample — on dense suites (HardSynth-seg:
+        # 8-48 objects/img) that dominated seg epoch time. The train split
+        # passes want_rles=False and skips them.
+        self.want_rles = bool(want_rles)
         self.labels_cache = self._cache_labels()
         self.poly_cache = self._cache_polygons() if task == "segment" else None
         # optional decoded-image RAM cache (original resolution, uint8 RGB).
@@ -509,12 +516,16 @@ class YoloDataset:
             valid[n] = True
             pts = np.round(poly * (ps / float(s))).astype(np.int32)
             cv2.fillPoly(masks[n], [pts], 1)
-            full[:] = 0
-            cv2.fillPoly(full, [np.round(poly).astype(np.int32)], 1)
-            gt_rles.append(rle_encode_np(full))
+            if self.want_rles:
+                full[:] = 0
+                cv2.fillPoly(full, [np.round(poly).astype(np.int32)], 1)
+                gt_rles.append(rle_encode_np(full))
             n += 1
-        return {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
-                "masks": masks, "gt_rles": gt_rles, "image_id": np.int64(idx)}
+        out = {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
+               "masks": masks, "image_id": np.int64(idx)}
+        if self.want_rles:
+            out["gt_rles"] = gt_rles
+        return out
 
     def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         rng = rng or np.random.RandomState()
@@ -524,13 +535,15 @@ class YoloDataset:
             except Exception as e:
                 print(f"[ERROR] {self.img_files[idx]}: {e}")
                 ps = self.proto_size
-                return {"image": np.zeros((self.img_size, self.img_size, 3), np.uint8),
-                        "boxes": np.zeros((self.max_boxes, 4), np.float32),
-                        "labels": np.zeros((self.max_boxes,), np.int32),
-                        "mask": np.zeros((self.max_boxes,), bool),
-                        "masks": np.zeros((self.max_boxes, ps, ps), np.uint8),
-                        "gt_rles": [],
-                        "image_id": np.int64(idx)}
+                out = {"image": np.zeros((self.img_size, self.img_size, 3), np.uint8),
+                       "boxes": np.zeros((self.max_boxes, 4), np.float32),
+                       "labels": np.zeros((self.max_boxes,), np.int32),
+                       "mask": np.zeros((self.max_boxes,), bool),
+                       "masks": np.zeros((self.max_boxes, ps, ps), np.uint8),
+                       "image_id": np.int64(idx)}
+                if self.want_rles:
+                    out["gt_rles"] = []
+                return out
         try:
             img = self.load_image(idx)
             h, w = img.shape[:2]

@@ -153,7 +153,8 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
                            photometric=not device_augment,
                            aug_preset=str(tr.get("aug_preset", "base")),
                            shard_index=jax.process_index() if n_proc > 1 else 0,
-                           shard_count=n_proc if n_proc > 1 else 1)
+                           shard_count=n_proc if n_proc > 1 else 1,
+                           want_rles=False)
     val_ds = YoloDataset(config["dataset"]["val_images"],
                          config["dataset"]["val_labels"],
                          img_size=img_size, is_train=False, augment=False,
