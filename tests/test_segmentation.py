@@ -92,12 +92,15 @@ def test_seg_dataset_masks(seg_data):
                      img_size=96, is_train=False, augment=False,
                      max_boxes=8, task="segment")
     s = ds.get(0, np.random.RandomState(0))
-    assert s["masks"].shape == (8, 24, 24)
+    # masks ship host-bitpacked along W (1 bit/px H2D); unpack to verify
+    assert s["masks_packed"].shape == (8, 24, 3)
+    masks = np.unpackbits(s["masks_packed"], axis=-1, count=24)
+    assert masks.shape == (8, 24, 24)
     n = int(s["mask"].sum())
     assert n >= 1
     # mask pixels fall inside the GT box (at proto res)
     for j in range(n):
-        ys, xs = np.nonzero(s["masks"][j])
+        ys, xs = np.nonzero(masks[j])
         if len(xs):
             x1, y1, x2, y2 = s["boxes"][j] * (24 / 96.0)
             assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
@@ -181,7 +184,8 @@ def test_seg_dataset_full_res_rles(seg_data):
         assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
         assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
         # area consistent with the proto-res mask scaled up (coarse check)
-        proto_area = s["masks"][j].sum() * (96 / 24.0) ** 2
+        proto_area = (np.unpackbits(s["masks_packed"][j], axis=-1,
+                                    count=24).sum() * (96 / 24.0) ** 2)
         assert abs(rle_area(rle) - proto_area) / max(proto_area, 1) < 0.35
 
 

@@ -521,8 +521,13 @@ class YoloDataset:
                 cv2.fillPoly(full, [np.round(poly).astype(np.int32)], 1)
                 gt_rles.append(rle_encode_np(full))
             n += 1
+        # bitpack the proto-res GT masks along W: [M,Hp,Wp] uint8 {0,1} ->
+        # [M,Hp,ceil(Wp/8)] uint8. 8x less H2D per step (the [200,160,160]
+        # raw layout is 5 MB/image and dominates the batch upload); the
+        # jitted train step unpacks on device (jnp.unpackbits, free vs MXU).
         out = {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
-               "masks": masks, "image_id": np.int64(idx)}
+               "masks_packed": np.packbits(masks, axis=-1),
+               "image_id": np.int64(idx)}
         if self.want_rles:
             out["gt_rles"] = gt_rles
         return out
@@ -539,7 +544,8 @@ class YoloDataset:
                        "boxes": np.zeros((self.max_boxes, 4), np.float32),
                        "labels": np.zeros((self.max_boxes,), np.int32),
                        "mask": np.zeros((self.max_boxes,), bool),
-                       "masks": np.zeros((self.max_boxes, ps, ps), np.uint8),
+                       "masks_packed": np.zeros(
+                           (self.max_boxes, ps, (ps + 7) // 8), np.uint8),
                        "image_id": np.int64(idx)}
                 if self.want_rles:
                     out["gt_rles"] = []

@@ -29,8 +29,9 @@ from yololite_tpu.data.dataset import YoloDataset
 def collate(samples) -> Dict[str, np.ndarray]:
     out = {}
     keys = ["image", "boxes", "labels", "mask"]
-    if "masks" in samples[0]:  # segmentation GT masks
-        keys.append("masks")
+    for mk in ("masks", "masks_packed"):  # segmentation GT masks
+        if mk in samples[0]:              # (packed: bitpacked along W)
+            keys.append(mk)
     for k in keys:
         out[k] = np.stack([s[k] for s in samples])
     if "gt_rles" in samples[0]:  # full-res GT mask RLEs: host-only, ragged

@@ -78,7 +78,13 @@ def gts_to_coco(batch: Dict[str, np.ndarray], first_img_id: int, nvalid: int,
     boxes = np.asarray(batch["boxes"])
     labels = np.asarray(batch["labels"])
     mask = np.asarray(batch["mask"])
-    gt_masks = np.asarray(batch["masks"]) if "masks" in batch else None
+    if "masks" in batch:
+        gt_masks = np.asarray(batch["masks"])
+    elif "masks_packed" in batch:  # host-bitpacked along W (see dataset.py)
+        mp = np.asarray(batch["masks_packed"])
+        gt_masks = np.unpackbits(mp, axis=-1, count=mp.shape[-2])
+    else:
+        gt_masks = None
     gt_rles = batch.get("gt_rles")
     for b in range(min(len(boxes), nvalid)):
         img_id = int(first_img_id + b)

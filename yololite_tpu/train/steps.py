@@ -33,6 +33,20 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
+def gt_masks_from_batch(batch: Dict[str, jnp.ndarray]):
+    """Device-side GT-mask view [B,M,Hp,Wp] or None.
+
+    Seg batches ship masks host-bitpacked along W ([B,M,Hp,ceil(Wp/8)],
+    1 bit/pixel — 8x less H2D per step); unpacking runs inside the jitted
+    step where it is bandwidth-free next to the conv work. Hand-built raw
+    "masks" batches (tests, external callers) pass through unchanged.
+    """
+    if "masks_packed" in batch:
+        mp = batch["masks_packed"]
+        return jnp.unpackbits(mp, axis=-1, count=mp.shape[-2])
+    return batch.get("masks")
+
+
 def normalize_images(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     x = images_u8.astype(jnp.float32) / 255.0
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
@@ -155,8 +169,9 @@ class Trainer:
     @staticmethod
     def _keep_keys(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         keys = ["image", "boxes", "labels", "mask"]
-        if "masks" in batch:  # instance-segmentation GT masks [B,M,Hp,Wp]
-            keys.append("masks")
+        for mk in ("masks", "masks_packed"):  # seg GT masks [B,M,Hp,Wp]
+            if mk in batch:                   # (packed: [B,M,Hp,Wp/8])
+                keys.append(mk)
         keep = {k: batch[k] for k in keys}
         if "image_id" in batch:  # padding images (id -1) are masked out of
             keep["img_valid"] = np.asarray(batch["image_id"]) >= 0  # val loss
@@ -219,8 +234,9 @@ class Trainer:
         x = normalize_images(images, self.model.dtype)
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
-        if "masks" in batch:
-            targets["masks"] = batch["masks"]
+        gtm = gt_masks_from_batch(batch)
+        if gtm is not None:
+            targets["masks"] = gtm
 
         img_size = int(batch["image"].shape[1])
 
@@ -327,8 +343,9 @@ class Trainer:
                                           batch["image"])
         targets = {"boxes": batch["boxes"], "labels": batch["labels"],
                    "mask": batch["mask"]}
-        if "masks" in batch:
-            targets["masks"] = batch["masks"]
+        gtm = gt_masks_from_batch(batch)
+        if gtm is not None:
+            targets["masks"] = gtm
         img_size = int(batch["image"].shape[1])
         total, metrics = self.loss(outs, targets, protos, img_size=img_size,
                                    img_valid=batch.get("img_valid"))
