@@ -243,9 +243,10 @@ def test_seg_mosaic_polygons(seg_data):
     s = ds.get(0, np.random.RandomState(1))
     n = int(s["mask"].sum())
     assert n >= 1
-    ps = s["masks"].shape[1]
+    ps = s["masks_packed"].shape[1]
+    masks = np.unpackbits(s["masks_packed"], axis=-1, count=ps)
     for j in range(n):
-        ys, xs = np.nonzero(s["masks"][j])
+        ys, xs = np.nonzero(masks[j])
         if len(xs):
             x1, y1, x2, y2 = s["boxes"][j] * (ps / 96.0)
             assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
@@ -265,9 +266,10 @@ def test_seg_affine_polygon_mapping(seg_data):
     for seed in range(20):  # affine fires with p=0.2 per sample
         s = ds.get(seed % len(ds), np.random.RandomState(seed))
         n = int(s["mask"].sum())
-        ps = s["masks"].shape[1]
+        ps = s["masks_packed"].shape[1]
+        masks = np.unpackbits(s["masks_packed"], axis=-1, count=ps)
         for j in range(n):
-            ys, xs = np.nonzero(s["masks"][j])
+            ys, xs = np.nonzero(masks[j])
             if len(xs):
                 hit += 1
                 x1, y1, x2, y2 = s["boxes"][j] * (ps / 96.0)
@@ -325,11 +327,12 @@ def test_seg_cutmix_through_pipeline(seg_data):
     for i in range(6):
         s = ds.get(i, np.random.RandomState(100 + i))
         b = base.get(i, np.random.RandomState(100 + i))
-        assert s["masks"].shape == (8, 24, 24)
+        assert s["masks_packed"].shape == (8, 24, 3)
+        masks = np.unpackbits(s["masks_packed"], axis=-1, count=24)
         n = int(s["mask"].sum())
         gained += int(n > int(b["mask"].sum()))
         for j in range(n):
-            ys, xs = np.nonzero(s["masks"][j])
+            ys, xs = np.nonzero(masks[j])
             if len(xs):
                 x1, y1, x2, y2 = s["boxes"][j] * (24 / 96.0)
                 assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1

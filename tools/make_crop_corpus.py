@@ -40,6 +40,10 @@ def extract_split(img_dir, lab_dir, out_root, names, margin, min_px,
             rows = [ln.split() for ln in f.read().splitlines() if ln.strip()]
         for ri, r in enumerate(rows):
             ci = int(float(r[0]))
+            if ci < 0 or ci >= len(names):
+                print(f"[WARN] {lab}: row {ri} class id {ci} outside "
+                      f"names[0..{len(names) - 1}], skipped")
+                continue
             if counts[ci] >= max_per_class:
                 continue
             # seg rows are `cls x1 y1 x2 y2 ...` polygons; box rows are
@@ -82,13 +86,24 @@ def main():
 
     with open(os.path.join(args.data, "data.yaml")) as f:
         dy = yaml.safe_load(f)
+    from yololite_tpu.config.config import _labels_or_fallback
+
     names = [str(n) for n in dy["names"]]
     rng = np.random.RandomState(args.seed)
+    data_yaml = os.path.join(args.data, "data.yaml")
     for split, key in (("train", "train"), ("val", "val")):
+        if key not in dy:
+            print(f"[WARN] data.yaml has no '{key}' split, skipped")
+            continue
         img_dir = dy[key]
         if not os.path.isabs(img_dir):
             img_dir = os.path.join(args.data, img_dir)
-        lab_dir = os.path.join(os.path.dirname(img_dir), "labels")
+        # same label-dir resolution as the trainer (config/config.py)
+        lab_dir = _labels_or_fallback("", img_dir, key, data_yaml)
+        if not os.path.isdir(img_dir) or not os.path.isdir(lab_dir):
+            print(f"[WARN] {split}: missing images/labels dir "
+                  f"({img_dir} / {lab_dir}), skipped")
+            continue
         counts = extract_split(img_dir, lab_dir,
                                os.path.join(args.out, split), names,
                                args.margin, args.min_px, args.max_per_class,

@@ -525,6 +525,11 @@ class YoloDataset:
         # [M,Hp,ceil(Wp/8)] uint8. 8x less H2D per step (the [200,160,160]
         # raw layout is 5 MB/image and dominates the batch upload); the
         # jitted train step unpacks on device (jnp.unpackbits, free vs MXU).
+        # Consumers derive the unpack count from Hp (shape[-2]), which is
+        # only valid for square protos — enforce that invariant here.
+        assert masks.shape[-1] == masks.shape[-2], (
+            "masks_packed requires square proto masks (unpack count is "
+            f"derived from Hp); got {masks.shape}")
         out = {"image": canvas, "boxes": boxes, "labels": labs, "mask": valid,
                "masks_packed": np.packbits(masks, axis=-1),
                "image_id": np.int64(idx)}
