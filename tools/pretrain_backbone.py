@@ -106,14 +106,28 @@ def pretrain(data, backbone, out, epochs=90, batch_size=256, img_size=224,
     total_steps = steps_per_epoch * epochs
 
     model = build_classifier(backbone, nc, jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((1, img_size, img_size, 3), jnp.float32),
-                           train=False)
+    # unjitted flax init dispatches each op separately — run it on the host
+    # backend (see models/detector.py:init_model host_init) and transfer
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    import contextlib
+    with (jax.default_device(_cpu) if _cpu is not None
+          else contextlib.nullcontext()):
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, img_size, img_size, 3),
+                                         jnp.float32), train=False)
+    variables = jax.device_put(jax.tree.map(np.asarray, variables))
     params, batch_stats = variables["params"], variables["batch_stats"]
 
+    # decay_steps counts warmup+decay; clamp warmup so short (smoke-test)
+    # schedules keep a positive cosine phase
+    warmup_steps = min(max(1, warmup_epochs * steps_per_epoch),
+                       max(1, total_steps // 2))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup_steps=max(1, warmup_epochs * steps_per_epoch),
-        decay_steps=max(2, total_steps))
+        0.0, lr, warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(sched, weight_decay=weight_decay))
     opt_state = tx.init(params)

@@ -108,6 +108,64 @@ def aot_compile_and_place(fn, *concrete_args):
         return None, None
 
 
+def const_weights_jit(fn, variables):
+    """Bake the weights into the executable as compile-time constants.
+
+    Tunnel-safe alternative to pinned-layout AOT (r5): `jax.jit` a wrapper
+    that CLOSES OVER the weight pytree instead of taking it as an argument.
+    Closed-over arrays are embedded in the lowered program as constants, so
+    XLA owns their layout outright — the per-call weight relayout copies the
+    AOT-layout path eliminated (r2, ~6-10% at edge_n@640 b128) disappear the
+    same way, but with no explicit input Format anywhere, which is exactly
+    the API the axon tunnel rejects (see `aot_compile_and_place` docstring).
+    Only the activation input still arrives in the caller's default layout.
+
+    Returns `call(x)`. Deploy-only: recompiles whenever the weights change.
+    """
+    v = jax.device_put(variables)
+    return jax.jit(lambda x: fn(v, x))
+
+
+def chain_iters(fn, variables, n_iters: int):
+    """Wrap `fn(variables, x)` so ONE dispatch executes `n_iters` chained
+    evaluations on device — per-dispatch (host/tunnel) overhead is paid once
+    per window instead of once per step, so the timing measures the chip.
+
+    Loop-invariant code motion would hoist a body that ignores the carry, so
+    each iteration perturbs the input with a data-dependent uint8 scalar
+    derived from the previous output (adds one elementwise pass over the
+    input, ~3% of the edge_n@640 graph's 10 GB/batch traffic; numerics of
+    iterations >0 are deliberately not meaningful — this is a timing
+    harness). Weights ride as closure constants (`const_weights_jit`).
+
+    Returns `call(x)` -> last iteration's output.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    v = jax.device_put(variables)
+
+    def _seed_from(out):
+        # cheap, genuinely data-dependent scalar (must not constant-fold:
+        # it is the loop-carried dependency that pins the body in the loop)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        f = jnp.abs(jnp.ravel(leaf)[0].astype(jnp.float32))
+        return lax.convert_element_type(jnp.mod(f, 2.0), jnp.uint8)
+
+    def call(x):
+        def body(carry, _):
+            s, _prev = carry
+            out = fn(v, (x + s).astype(x.dtype))
+            return (_seed_from(out), out), None
+
+        out0 = fn(v, x)
+        (_, out), _ = lax.scan(body, (_seed_from(out0), out0), None,
+                               length=n_iters - 1)
+        return out
+
+    return jax.jit(call)
+
+
 def checked_call(compiled, fn):
     """Wrap an AOT executable with a permanent plain-jit fallback.
 

@@ -24,6 +24,7 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from yololite_tpu.models.backbones import build_backbone, backbone_feature_info
@@ -257,9 +258,37 @@ def build_model_from_config(cfg: Dict[str, Any], dtype=jnp.float32) -> YOLOLiteM
     )
 
 
-def init_model(model: YOLOLiteMS, img_size: int, seed: int = 0, batch: int = 1):
-    """Initialize variables with a dummy batch. Returns (params, batch_stats)."""
+def init_model(model: YOLOLiteMS, img_size: int, seed: int = 0, batch: int = 1,
+               host_init: bool = None):
+    """Initialize variables with a dummy batch. Returns (params, batch_stats).
+
+    `host_init` runs the (unjitted, op-by-op) flax init on the CPU backend and
+    device_puts the weights to the default device afterwards. Default: on for
+    the tunneled `axon` dev backend, where each of the init's ~50 individually
+    dispatched conv compiles costs ~30 s of tunnel round-trip (r5 measurement:
+    init_model alone >15 min on-device vs seconds on host); off elsewhere
+    (direct-attached TPUs compile the init ops in milliseconds).
+    """
+    if host_init is None:
+        try:
+            import jax.extend
+            host_init = "axon" in getattr(jax.extend.backend.get_backend(),
+                                          "platform_version", "")
+        except Exception:
+            host_init = False
     x = jnp.zeros((batch, img_size, img_size, 3), model.dtype)
+    if host_init:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                variables = model.init({"params": jax.random.PRNGKey(seed)},
+                                       jnp.zeros_like(x), train=False)
+            variables = jax.device_put(
+                jax.tree.map(np.asarray, variables))
+            return variables["params"], variables.get("batch_stats", {})
     variables = model.init({"params": jax.random.PRNGKey(seed)}, x, train=False)
     return variables["params"], variables.get("batch_stats", {})
 
