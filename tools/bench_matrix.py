@@ -96,25 +96,47 @@ def run_case(tag, mname, img, batch, use_p2=False, use_p6=False,
     if s2d:
         x_np = pack_s2d(x_np)
     # deploy path = AOT pinned to the achieved input layouts (deploy/layout.py)
-    from yololite_tpu.deploy.layout import aot_compile_and_place, checked_call
+    # or, where the backend rejects explicit Formats (axon tunnel), weights
+    # baked as compile-time constants (r5 const_weights_jit, +8.7% vs plain)
+    from yololite_tpu.deploy.layout import (aot_compile_and_place, chain_iters,
+                                            checked_call, const_weights_jit)
     comp, placed = aot_compile_and_place(infer, variables, x_np)
     if comp is not None:
         variables, x = placed
-        infer = checked_call(comp, infer)
+        call_fn = checked_call(comp, infer)
+        call = lambda: call_fn(variables, x)  # noqa: E731
     else:
         x = jnp.asarray(x_np)
-        infer = jax.jit(infer)
+        cw = const_weights_jit(infer, variables)
+        call = lambda: cw(x)  # noqa: E731
     for _ in range(3):
-        jax.block_until_ready(infer(variables, x))
+        jax.block_until_ready(call())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(variables, x)
+        out = call()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    # chip-resident leg: K chained in-graph evaluations per dispatch — rows
+    # measure the chip, not the session's per-dispatch tunnel overhead
+    # (VERDICT r4 #6). K chosen so a window is ~10 steps of work minimum.
+    K = int(os.environ.get("BENCH_CHAIN_K", "16"))
+    dt_chip = None
+    if K > 1:
+        chained = chain_iters(infer, variables, K)
+        jax.block_until_ready(chained(x))
+        t0 = time.perf_counter()
+        c_iters = max(2, iters // 5)
+        for _ in range(c_iters):
+            out = chained(x)
+        jax.block_until_ready(out)
+        dt_chip = (time.perf_counter() - t0) / (c_iters * K)
     rec = {"config": tag, "model": mname, "img_size": img, "batch": batch,
            "params": nparams, "img_per_s": round(batch / dt, 1),
            "ms_per_batch": round(dt * 1e3, 2),
            "ms_per_img": round(dt * 1e3 / batch, 4)}
+    if dt_chip is not None:
+        rec["img_per_s_chip"] = round(batch / dt_chip, 1)
+        rec["per_dispatch_overhead_ms"] = round((dt - dt_chip) * 1e3, 3)
     print(json.dumps(rec), flush=True)
     return rec
 

@@ -171,7 +171,8 @@ class Predictor:
         entry = self._aot.get(skey)
         if entry is None:
             from yololite_tpu.deploy.layout import (aot_compile_and_place,
-                                                    checked_call)
+                                                    checked_call,
+                                                    const_weights_jit)
             fn = self._make_fn(img_size, conf, iou, max_det)
             # pinned to the layouts device_put actually produces (the tunnel
             # backend ignores some requested layouts — deploy/layout.py)
@@ -181,7 +182,11 @@ class Predictor:
                 entry = (checked_call(compiled, fn), placed[0],
                          placed[1].format)
             else:
-                entry = (jax.jit(fn), self.variables, None)
+                # backend rejects explicit Formats (axon tunnel): bake the
+                # weights in as compile-time constants instead — XLA owns
+                # their layout, no per-call weight relayout (r5, +8.7%)
+                cw = const_weights_jit(fn, self.variables)
+                entry = (lambda _v, x, _cw=cw: _cw(x), self.variables, None)
             self._aot[skey] = entry
             if compiled is not None:  # first batch already placed
                 return entry[0](entry[1], placed[1])
