@@ -359,3 +359,26 @@ def test_chunked_driver_fault_injection_exact_trajectory(toy_data, tmp_path):
                 float(ra[k]), float(rb[k]), rtol=1e-5,
                 err_msg=f"epoch {ra['epoch']} {k}: straight {ra[k]} "
                         f"vs chunked-resume {rb[k]}")
+
+
+def test_max_boxes_auto_sizes_to_dataset(toy_data, tmp_path):
+    """`training.max_boxes: auto` (r5): GT padding capacity M is derived from
+    the dataset's true max instance count (the SimOTA assignment cost scales
+    with M — BENCHMARK_TPU.md train-step attribution). Toy set has <=2
+    GT/image and augment=False, so auto must resolve to the floor of 16."""
+    from yololite_tpu.data.dataset import max_instances_per_image
+    from yololite_tpu.train.loop import train_from_config
+
+    root = os.path.dirname(toy_data)
+    assert max_instances_per_image(os.path.join(root, "train", "labels")) <= 2
+    assert max_instances_per_image("/nonexistent/dir") == 0
+
+    run_dir = str(tmp_path / "run_auto")
+    cfg = _toy_config(toy_data, run_dir, epochs=1)
+    cfg["training"]["max_boxes"] = "auto"
+    results = train_from_config(cfg)
+    assert "coco" in results
+    # the merged config records what auto resolved to via the run artifacts;
+    # the training ran end-to-end with the sized-down capacity
+    assert os.path.exists(os.path.join(run_dir, "weights",
+                                       "last_model_state.ckpt"))

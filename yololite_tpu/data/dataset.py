@@ -93,6 +93,28 @@ def parse_yolo_label_file(path: str) -> np.ndarray:
     return np.zeros((0, 5), dtype=np.float32)
 
 
+def max_instances_per_image(lab_dir: str) -> int:
+    """Largest number of label rows (one row = one instance, box or polygon)
+    in any txt under `lab_dir`. Powers `training.max_boxes: auto` — the
+    SimOTA assignment's [M,N] one-hot matmuls scale with the GT padding
+    capacity M (38% of the train step at M=200, BENCHMARK_TPU.md "where the
+    time goes"), so sizing M to the dataset instead of a universal default
+    is a pure, exact speedup."""
+    from pathlib import Path
+    best = 0
+    p = Path(lab_dir)
+    if not p.is_dir():
+        return 0
+    for f in p.glob("*.txt"):
+        try:
+            with open(f) as fh:
+                n = sum(1 for ln in fh if ln.strip())
+        except OSError:
+            continue
+        best = max(best, n)
+    return best
+
+
 class _LRUImageCache:
     """Bounded decoded-image cache (byte budget, LRU eviction, thread-safe).
 

@@ -129,7 +129,21 @@ def train_from_config(config: Dict[str, Any], progress: bool = True) -> Dict[str
     batch_size = int(tr.get("batch_size", 16))
     use_augment = bool(tr.get("augment", True))
     use_resize = bool(tr.get("resize", False))
-    max_boxes = int(tr.get("max_boxes", 100))
+    mb_raw = tr.get("max_boxes", 100)
+    if isinstance(mb_raw, str) and mb_raw.strip().lower() == "auto":
+        # size the GT padding capacity M to the dataset: assignment cost is
+        # proportional to M (BENCHMARK_TPU.md train-step attribution). Mosaic
+        # tiles 4 images (+1 cutmix paste), so the train-time worst case is
+        # 4*base+1 when augmentation is on.
+        from yololite_tpu.data.dataset import max_instances_per_image
+        base = max(max_instances_per_image(config["dataset"]["train_labels"]),
+                   max_instances_per_image(config["dataset"]["val_labels"]), 1)
+        eff = 4 * base + 1 if use_augment else base
+        max_boxes = int(min(300, max(16, ((eff + 7) // 8) * 8)))
+        print(f"max_boxes=auto -> {max_boxes} "
+              f"(max {base} GT/image{', mosaic x4+1' if use_augment else ''})")
+    else:
+        max_boxes = int(mb_raw)
     class_names = config.get("dataset", {}).get("names")
 
     task = str(config["model"].get("task", tr.get("task", "detect"))).lower()
