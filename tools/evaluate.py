@@ -59,8 +59,12 @@ def main():
         ap.error("need --test_folder or --data")
 
     out_dir = next_run_dir("runs/evaluate")
+    # seg checkpoints evaluate mask mAP too: polygon labels + full-res GT
+    # RLEs flow through evaluate_model's segm COCOeval branch
+    task = ("segment" if (meta.get("config") or {}).get("model", {})
+            .get("with_masks") else "detect")
     ds = YoloDataset(img_dir, lbl_dir, img_size=img_size, is_train=False,
-                     augment=False)
+                     augment=False, task=task)
     loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False)
     cfg_for_loss = dict(meta.get("config") or {})
     cfg_for_loss.setdefault("model", {})["num_classes"] = num_classes
