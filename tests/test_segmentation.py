@@ -338,3 +338,30 @@ def test_seg_cutmix_through_pipeline(seg_data):
                 assert xs.min() >= int(x1) - 1 and xs.max() <= int(np.ceil(x2)) + 1
                 assert ys.min() >= int(y1) - 1 and ys.max() <= int(np.ceil(y2)) + 1
     assert gained >= 3  # paste can legitimately fail (size guards), not always
+
+
+def test_val_seg_sample_cache(seg_data):
+    """Deterministic val seg samples are cached per (idx, img_size) — the
+    full-res GT RLE rebuild cost ~13 min/eval pass at scale (r5). Train
+    datasets must NOT cache (aug stream varies per epoch)."""
+    from yololite_tpu.data import YoloDataset
+    data_yaml, root = seg_data
+    val = YoloDataset(os.path.join(root, "train", "images"),
+                      os.path.join(root, "train", "labels"),
+                      img_size=96, is_train=False, augment=False,
+                      max_boxes=8, task="segment")
+    a = val.get(0, np.random.RandomState(0))
+    b = val.get(0, np.random.RandomState(99))
+    assert a is b  # cache hit, rng irrelevant on the deterministic path
+    # size switch keys a fresh entry
+    val.set_img_size(64)
+    c = val.get(0, np.random.RandomState(0))
+    assert c is not a and c["image"].shape[0] == 64
+
+    tr = YoloDataset(os.path.join(root, "train", "images"),
+                     os.path.join(root, "train", "labels"),
+                     img_size=96, is_train=True, augment=True,
+                     max_boxes=8, task="segment")
+    x = tr.get(0, np.random.RandomState(0))
+    y = tr.get(0, np.random.RandomState(0))
+    assert x is not y

@@ -204,6 +204,9 @@ class YoloDataset:
         self.img_size = int(img_size)
         self.is_train = bool(is_train)
         self.max_boxes = int(max_boxes)
+        # finished-sample cache for deterministic (val) seg samples, keyed by
+        # (idx, img_size) — see _get_segment docstring
+        self._val_seg_cache: Dict = {}
         self.mosaic_p = float(mosaic_p) if (is_train and augment) else 0.0
         self.cutmix_p = float(cutmix_p) if (is_train and augment) else 0.0
         self.augment_enabled = bool(augment) and is_train
@@ -467,7 +470,17 @@ class YoloDataset:
         rasterized at prototype resolution (stride `proto_down`) + full-res
         RLE for eval. CutMix is the mask-aware copy-paste variant
         (`cutmix_segment`); photometric augs apply normally.
+
+        Val datasets (is_train=False) are deterministic per index — mosaic,
+        cutmix and all augs are off and `rng` goes unused — so the finished
+        sample is cached: rebuilding the full-res GT RLEs cost ~13 min per
+        eval pass of a 400-image @640 suite on a 1-core host (r5 HardSynth-
+        seg study), repeated at every eval epoch.
         """
+        if not self.is_train:
+            cached = self._val_seg_cache.get((idx, self.img_size))
+            if cached is not None:
+                return cached
         from yololite_tpu.data.augment import (affine_matrix, channel_shuffle,
                                                color_jitter, gauss_noise,
                                                hsv_shift, motion_blur,
@@ -557,6 +570,8 @@ class YoloDataset:
                "image_id": np.int64(idx)}
         if self.want_rles:
             out["gt_rles"] = gt_rles
+        if not self.is_train:
+            self._val_seg_cache[(idx, self.img_size)] = out
         return out
 
     def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
